@@ -1,0 +1,246 @@
+"""Wavefront path integrator (parity: src/pine/impl/integrator/path.cpp).
+
+The reference's recursive ``radiance()`` megakernel becomes an iterative
+depth-major wavefront inside one ``jax.jit`` program: every depth step runs
+ray-intersect, emissive/env accumulation with MIS, material evaluation, NEE
+with a shadow wavefront, and BSDF sampling — all dense with per-lane alive
+masks (TPU-native replacement for parallel_for + recursion; SURVEY.md §5.7).
+
+MIS bookkeeping follows path.cpp:42-124 exactly: per-vertex state
+(prev_pdf, prev_is_delta, diffused) is loop-carried; the reference's
+``min(Tr*beta*lo, vec3(8))`` firefly clamp nests per vertex — here it is
+applied once at the path level (everything except the depth-0 direct hit is
+clamped to 8), which matches whenever inner clamps don't bind (they bind only
+on extreme fireflies).
+
+Sampler dimension schedule per depth d (base = 4 + d*12):
+    +0,+1  pixel jitter (depth 0) / unused
+    +2,+3  lens sample (depth 0)
+    d: +0   light selection
+       +1,+2 light-sample u2
+       +3,+4 material lobe choices (uber/subsurface)
+       +5,+6 bxdf wm/cosine u2
+       +7    bxdf u1 (fresnel choice)
+       +8,+9 bxdf secondary u2
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pine_tpu.core import camera as camera_mod
+from pine_tpu.core.ray import offset_ray_origin
+from pine_tpu.core.sampling import balance_heuristic
+from pine_tpu.core.vecmath import dot, face_forward, to_local, to_world
+from pine_tpu.scene import bxdf as bxdf_mod
+from pine_tpu.scene import material_eval
+
+FLOAT_MAX = float(np.finfo(np.float32).max)
+CLAMP = 8.0
+MIN_ROUGHNESS = 0.6  # path.cpp:91 BxdfSampleCtx(..., 0.6f, ...)
+
+
+class PathIntegrator:
+    """PRL-facing integrator: PathIntegrator(sampler, max_path_length)."""
+
+    def __init__(self, sampler, max_path_length, accel=None, light_sampler=None):
+        if max_path_length <= 0:
+            raise ValueError(
+                f"`PathIntegrator` expect `max_path_length` to be positive, got {max_path_length}"
+            )
+        self.sampler = sampler
+        self.max_path_length = int(max_path_length)
+
+    def render(self, scene):
+        cscene = scene.compile()
+        cam = scene.camera
+        if cam is None:
+            raise RuntimeError("scene has no camera")
+        film = cam.film
+        W, H = film.width, film.height
+        img = render_wavefront(
+            cscene,
+            cam,
+            W,
+            H,
+            self.sampler,
+            self.sampler.spp,
+            self.max_path_length,
+        )
+        film.set_rgb(np.asarray(img))
+        return film
+
+
+_RENDER_CACHE = {}
+
+
+def render_wavefront(cscene, cam, W, H, sampler, spp, max_depth, seed=0):
+    """Render and return (H,W,3) mean radiance.
+
+    The whole spp x depth wavefront compiles into one jit program, cached per
+    (scene, camera, sampler, config) identity.
+    """
+    key = (id(cscene), id(cam), id(sampler), W, H, spp, max_depth, seed)
+    if key not in _RENDER_CACHE:
+        n = W * H
+        cam_params = cam.params()
+
+        def fn():
+            ys, xs = jnp.divmod(jnp.arange(n, dtype=jnp.int32), W)
+
+            def body(i, acc):
+                return acc + path_trace_sample(
+                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth
+                )
+
+            total = jax.lax.fori_loop(0, spp, body, jnp.zeros((n, 3), jnp.float32))
+            return (total / spp).reshape(H, W, 3)
+
+        _RENDER_CACHE[key] = jax.jit(fn)
+    return _RENDER_CACHE[key]()
+
+
+def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, max_depth):
+    """One sample per pixel through the full wavefront depth loop -> (N,3)."""
+    n = xs.shape[0]
+    f32 = jnp.float32
+
+    jitter = sampler.u2(xs, ys, sample_index, 0)
+    u_lens = sampler.u2(xs, ys, sample_index, 2)
+    p_film = (jnp.stack([xs, ys], -1).astype(f32) + jitter) / jnp.asarray(
+        [W, H], f32
+    )
+    ro, rd = camera_mod.gen_rays(cam_params, p_film, u_lens)
+
+    L_direct = jnp.zeros((n, 3), f32)  # depth-0 emissive/env (unclamped)
+    L_indirect = jnp.zeros((n, 3), f32)  # everything else (clamped at CLAMP)
+    beta = jnp.ones((n, 3), f32)
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), f32)
+    prev_delta = jnp.ones((n,), bool)  # Vertex::first_vertex() is_delta=true
+    diffused = jnp.zeros((n,), bool)
+    tmin = jnp.zeros((n,), f32)
+
+    n_lights = len(cscene.lights)
+
+    for depth in range(max_depth):
+        dim = 4 + depth * 12
+
+        t, gidx, hitm, mesh_tri = cscene.intersect(
+            ro, rd, tmin, jnp.full((n,), FLOAT_MAX, f32)
+        )
+        hitm = hitm & alive
+
+        # ---- escaped rays: environment light (path.cpp:75-81) ----
+        if cscene.env_light is not None:
+            le_env = cscene.env_light.color(rd)
+            mis = jnp.where(
+                prev_delta,
+                1.0,
+                balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
+            )
+            contrib = beta * le_env * mis[:, None]
+            m = (alive & ~hitm)[:, None]
+            if depth == 0:
+                L_direct = L_direct + jnp.where(m, contrib, 0.0)
+            else:
+                L_indirect = L_indirect + jnp.where(m, contrib, 0.0)
+
+        hp = ro + t[:, None] * rd
+        p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
+        ctx = dict(p=p_s, n=ns, uv=uv)
+        wi_world = -rd
+
+        # ---- emissive hit (path.cpp:83-87) ----
+        emis = cscene.is_emissive_lane(gidx) & hitm
+        if cscene.emissive_globals:
+            le = cscene.emissive_le(gidx, ctx, wi_world)
+            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t, ns)
+            mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
+            contrib = beta * le * mis[:, None]
+            m = emis[:, None]
+            if depth == 0:
+                L_direct = L_direct + jnp.where(m, contrib, 0.0)
+            else:
+                L_indirect = L_indirect + jnp.where(m, contrib, 0.0)
+
+        alive = hitm & ~emis
+        if depth + 1 >= max_depth:
+            break
+
+        # ---- material -> per-lane bxdf state ----
+        mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
+        u_mat = sampler.u2(xs, ys, sample_index, dim + 3)
+        state = material_eval.eval_bxdf_state(
+            cscene,
+            mat_idx,
+            ctx,
+            wi_world,
+            u_mat[:, 0],
+            u_mat[:, 1],
+            MIN_ROUGHNESS,
+            diffused,
+        )
+        wi = to_local(ns, wi_world)
+
+        # ---- NEE (path.cpp:98-113) ----
+        if n_lights > 0:
+            u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
+            u_light = sampler.u2(xs, ys, sample_index, dim + 1)
+            pick = jnp.clip((u_sel * n_lights).astype(jnp.int32), 0, n_lights - 1)
+            u1_rem = u_sel * n_lights - pick.astype(f32)
+
+            ls_le = jnp.zeros((n, 3), f32)
+            ls_wo = jnp.zeros((n, 3), f32)
+            ls_dist = jnp.ones((n,), f32)
+            ls_pdf = jnp.ones((n,), f32)
+            ls_valid = jnp.zeros((n,), bool)
+            ls_delta = jnp.zeros((n,), bool)
+            for li, light in enumerate(cscene.lights):
+                s = light.sample(p_s, u_light, u1_rem, ctx)
+                m = pick == li
+                ls_le = jnp.where(m[:, None], s["le"], ls_le)
+                ls_wo = jnp.where(m[:, None], s["wo"], ls_wo)
+                ls_dist = jnp.where(m, s["distance"], ls_dist)
+                ls_pdf = jnp.where(m, s["pdf"] * (1.0 / n_lights), ls_pdf)
+                ls_valid = jnp.where(m, s["valid"], ls_valid)
+                ls_delta = jnp.where(
+                    m, jnp.full((n,), light.is_delta, bool), ls_delta
+                )
+
+            bxdf_delta = bxdf_mod.is_delta(state)
+            do_nee = alive & ls_valid & ~bxdf_delta & (ls_pdf > 0.0)
+            # spawn offset along the normal flipped toward the ray
+            # (interaction.cpp:6-13 face_same_hemisphere)
+            so = offset_ray_origin(p_s, face_forward(ns, ls_wo))
+            occluded = cscene.any_hit(so, ls_wo, jnp.zeros((n,), f32), ls_dist * (1.0 - 1e-3))
+            wo_l = to_local(ns, ls_wo)
+            f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
+            cosine = jnp.abs(dot(ls_wo, ns))
+            mis_l = jnp.where(ls_delta, 1.0, balance_heuristic(ls_pdf, pdf_l))
+            nee = beta * ls_le * f_l * (cosine / jnp.maximum(ls_pdf, 1e-20) * mis_l)[:, None]
+            L_indirect = L_indirect + jnp.where(
+                (do_nee & ~occluded)[:, None], nee, 0.0
+            )
+
+        # ---- BSDF sampling & continuation (path.cpp:114-120) ----
+        u_wm = sampler.u2(xs, ys, sample_index, dim + 5)
+        u_fr = sampler.u1(xs, ys, sample_index, dim + 7)
+        u_cos = sampler.u2(xs, ys, sample_index, dim + 8)
+        bs = bxdf_mod.sample(state, wi, u_wm, u_fr, u_cos)
+        wo_world = to_world(ns, bs["wo"])
+        cosine = jnp.abs(dot(wo_world, ns))
+        thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
+        alive = alive & bs["valid"]
+        beta = jnp.where(alive[:, None], beta * thr, beta)
+        prev_pdf = bs["pdf"]
+        prev_delta = bs["is_delta_sample"]
+        diffused = diffused | (alive & ~bs["is_delta_sample"])
+        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        rd = wo_world
+        tmin = jnp.zeros((n,), f32)
+
+    return L_direct + jnp.minimum(L_indirect, CLAMP)

@@ -1,0 +1,269 @@
+"""Wavefront BXDF evaluation (parity: src/pine/core/bxdf.cpp).
+
+Per-lane BXDF state is a dict of dense arrays: ``tag`` (N,) int32 (BX_* from
+materials.py), ``albedo`` (N,3), ``roughness`` (N,), ``ior`` (N,).  Dispatch is
+masked-dense: every lobe's math runs for all lanes (tens of VPU flops each)
+and results select by tag — the wavefront-friendly replacement for the
+reference's ``psl::variant::dispatch`` per ray.
+
+All directions are in the local shading frame.  ``sample`` consumes
+(u2 wm-sample, u1 lobe-choice, u2b cosine-sample) from the lane's sampler dims.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pine_tpu.core import scattering as sc
+from pine_tpu.core.sampling import cosine_weighted_hemisphere
+from pine_tpu.core.vecmath import Pi, dot, safe_normalize
+from pine_tpu.scene.materials import (
+    BX_BSSRDF,
+    BX_CONDUCTOR,
+    BX_DIFF_DIELECTRIC,
+    BX_DIFFUSE,
+    BX_REFR_DIELECTRIC,
+    BX_REFRACTIVE,
+)
+
+EPS = 1e-7
+DELTA_ALPHA = 1e-4  # alpha = roughness^2 below this counts as a delta lobe
+DELTA_ROUGHNESS = 1e-2  # bxdf.h is_delta(): roughness < 1e-2
+
+
+def _sel(mask, a, b):
+    if a.ndim > mask.ndim:
+        mask = mask[..., None]
+    return jnp.where(mask, a, b)
+
+
+def is_delta(state):
+    """bxdf.h is_delta per lobe: GGX lobes with roughness < 1e-2."""
+    tag = state["tag"]
+    rough_delta = state["roughness"] < DELTA_ROUGHNESS
+    specularish = (
+        (tag == BX_CONDUCTOR) | (tag == BX_REFRACTIVE) | (tag == BX_REFR_DIELECTRIC)
+    )
+    return specularish & rough_delta
+
+
+def sample(state, wi, u2, u1, u2b):
+    """Sample all lobes, select by tag.
+
+    Returns dict(wo, f (N,3), pdf, is_delta_sample, valid).
+    """
+    tag = state["tag"]
+    albedo = state["albedo"]
+    rough = state["roughness"]
+    ior = state["ior"]
+    alpha = rough * rough
+    n_l = wi.shape[0]
+
+    zeros3 = jnp.zeros((n_l, 3), jnp.float32)
+    out_wo, out_f = zeros3, zeros3
+    out_pdf = jnp.zeros((n_l,), jnp.float32)
+    out_delta = jnp.zeros((n_l,), bool)
+    out_valid = jnp.zeros((n_l,), bool)
+
+    def put(mask, wo, f, pdf, delta, valid):
+        nonlocal out_wo, out_f, out_pdf, out_delta, out_valid
+        out_wo = _sel(mask, wo, out_wo)
+        out_f = _sel(mask, f, out_f)
+        out_pdf = jnp.where(mask, pdf, out_pdf)
+        out_delta = jnp.where(mask, delta, out_delta)
+        out_valid = jnp.where(mask, valid, out_valid)
+
+    # ---- Diffuse (bxdf.cpp:11-21) ----
+    wo_d = cosine_weighted_hemisphere(u2)
+    wo_d = _sel(sc.cos_theta(wi) < 0.0, -wo_d, wo_d)
+    pdf_d = sc.abs_cos_theta(wo_d) / Pi
+    f_d = albedo / Pi
+    put(tag == BX_DIFFUSE, wo_d, f_d, pdf_d, jnp.zeros(n_l, bool), pdf_d > 0.0)
+
+    # ---- shared GGX microfacet quantities ----
+    alpha_s = jnp.maximum(alpha, DELTA_ALPHA)
+    wm = sc.ggx_sample_wm(alpha_s, wi, u2)
+    wo_r = sc.reflect(wi, wm)
+    same_hemi = sc.same_hemisphere(wi, wo_r)
+    pdf_wm = sc.ggx_pdf(alpha_s, wi, wm) / jnp.maximum(4 * jnp.abs(dot(wi, wm)), EPS)
+    dg_over = sc.ggx_d_g(alpha_s, wo_r, wm, wi) / jnp.maximum(
+        jnp.abs(4 * sc.cos_theta(wi) * sc.cos_theta(wo_r)), EPS
+    )
+    is_smooth = alpha < DELTA_ALPHA
+
+    # ---- Conductor (bxdf.cpp:37-61) ----
+    wo_mirror = sc.reflect_z(wi)
+    fr_mirror = sc.fr_schlick(albedo, sc.abs_cos_theta(wo_mirror))
+    f_c_smooth = fr_mirror / jnp.maximum(sc.abs_cos_theta(wo_mirror), EPS)[..., None]
+    fr_c = sc.fr_schlick(albedo, jnp.abs(dot(wi, wm)))
+    wo_c = _sel(is_smooth, wo_mirror, wo_r)
+    f_c = _sel(is_smooth, f_c_smooth, fr_c * dg_over[..., None])
+    pdf_c = jnp.where(is_smooth, 1.0, pdf_wm)
+    valid_c = is_smooth | same_hemi
+    put(tag == BX_CONDUCTOR, wo_c, f_c, pdf_c, is_smooth, valid_c)
+
+    # ---- Refractive = rough mirror w/ albedo (bxdf.cpp:96-120) ----
+    f_r_smooth = albedo
+    pdf_r_smooth = sc.abs_cos_theta(wo_mirror)
+    wo_rr = _sel(is_smooth, wo_mirror, wo_r)
+    f_r = _sel(is_smooth, f_r_smooth, albedo * dg_over[..., None])
+    pdf_r = jnp.where(is_smooth, pdf_r_smooth, pdf_wm)
+    put(tag == BX_REFRACTIVE, wo_rr, f_r, pdf_r, is_smooth, is_smooth | same_hemi)
+
+    # ---- RefractiveDielectric (glass; bxdf.cpp:156-200) ----
+    fr_diel = sc.fr_dielectric(sc.cos_theta(wi), ior)
+    choose_reflect = u1 < fr_diel
+    # smooth case
+    ok_t, wt_s, _ = sc.refract(
+        wi, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wi.shape), ior
+    )
+    f_g_sr = albedo * (fr_diel / jnp.maximum(sc.abs_cos_theta(wo_mirror), EPS))[..., None]
+    f_g_st = albedo * ((1.0 - fr_diel) / jnp.maximum(sc.abs_cos_theta(wt_s), EPS))[..., None]
+    # rough case
+    ok_tm, wt_m, eta_m = sc.refract(wi, wm, ior)
+    denom = jnp.square(dot(wt_m, wm) + dot(wi, wm) / eta_m)
+    pdf_gt = (
+        (1.0 - fr_diel)
+        * sc.ggx_pdf(alpha_s, wi, wm)
+        * jnp.abs(dot(wt_m, wm))
+        / jnp.maximum(denom, EPS)
+    )
+    f_gt = albedo * (
+        (1.0 - fr_diel)
+        * sc.ggx_d(alpha_s, wm)
+        * sc.ggx_g(alpha_s, wi, wt_m)
+        * jnp.abs(
+            dot(wt_m, wm)
+            * dot(wi, wm)
+            / jnp.maximum(denom * sc.cos_theta(wi) * sc.cos_theta(wt_m), EPS)
+        )
+    )[..., None]
+    wo_g = _sel(
+        choose_reflect,
+        _sel(is_smooth, wo_mirror, wo_r),
+        _sel(is_smooth, wt_s, wt_m),
+    )
+    f_g = _sel(
+        choose_reflect,
+        _sel(is_smooth, f_g_sr, albedo * (fr_diel * dg_over)[..., None]),
+        _sel(is_smooth, f_g_st, f_gt),
+    )
+    pdf_g = jnp.where(
+        choose_reflect,
+        jnp.where(is_smooth, fr_diel, fr_diel * pdf_wm),
+        jnp.where(is_smooth, 1.0 - fr_diel, pdf_gt),
+    )
+    valid_g = jnp.where(
+        choose_reflect,
+        is_smooth | same_hemi,
+        jnp.where(is_smooth, ok_t, ok_tm),
+    )
+    put(tag == BX_REFR_DIELECTRIC, wo_g, f_g, pdf_g, is_smooth, valid_g)
+
+    # ---- DiffusiveDielectric (glossy; bxdf.cpp:250-287) ----
+    wo_dd_t = cosine_weighted_hemisphere(u2b)
+    wo_dd_t = _sel(sc.cos_theta(wi) < 0.0, -wo_dd_t, wo_dd_t)
+    f_dd_t = albedo * ((1.0 - fr_diel) / Pi)[..., None]
+    pdf_dd_t = (1.0 - fr_diel) * sc.abs_cos_theta(wo_dd_t) / Pi
+    f_dd_r_smooth = jnp.stack([fr_diel] * 3, -1)
+    wo_dd = _sel(
+        choose_reflect, _sel(is_smooth, wo_mirror, wo_r), wo_dd_t
+    )
+    f_dd = _sel(
+        choose_reflect,
+        _sel(
+            is_smooth,
+            f_dd_r_smooth,
+            jnp.stack([fr_diel * dg_over] * 3, -1),
+        ),
+        f_dd_t,
+    )
+    pdf_dd = jnp.where(
+        choose_reflect,
+        jnp.where(is_smooth, fr_diel * sc.abs_cos_theta(wo_mirror), fr_diel * pdf_wm),
+        pdf_dd_t,
+    )
+    valid_dd = jnp.where(choose_reflect, is_smooth | same_hemi, pdf_dd_t > 0.0)
+    put(
+        tag == BX_DIFF_DIELECTRIC,
+        wo_dd,
+        f_dd,
+        pdf_dd,
+        choose_reflect & is_smooth,
+        valid_dd,
+    )
+
+    # ---- BSSRDF exit lobe (bxdf.cpp:355-369): cosine lobe on the far side ----
+    wo_ss = cosine_weighted_hemisphere(u2b)
+    wo_ss = _sel(sc.cos_theta(wi) > 0.0, -wo_ss, wo_ss)
+    pdf_ss = sc.abs_cos_theta(wo_ss) / Pi
+    put(tag == BX_BSSRDF, wo_ss, albedo / Pi, pdf_ss, jnp.zeros(n_l, bool), pdf_ss > 0.0)
+
+    out_valid = out_valid & (out_pdf > 0.0)
+    return dict(wo=out_wo, f=out_f, pdf=out_pdf, is_delta_sample=out_delta, valid=out_valid)
+
+
+def f_and_pdf(state, wi, wo):
+    """Evaluate f and pdf for a given wo (used by NEE MIS).
+
+    Delta lobes return 0 (the integrator skips NEE for delta lanes anyway).
+    """
+    tag = state["tag"]
+    albedo = state["albedo"]
+    rough = state["roughness"]
+    ior = state["ior"]
+    alpha = jnp.maximum(rough * rough, DELTA_ALPHA)
+    n_l = wi.shape[0]
+
+    same = sc.same_hemisphere(wi, wo)
+    wm = safe_normalize(wi + wo)
+    wm_f = sc.face_normal(wm)
+    dg = sc.ggx_d_g(alpha, wo, wm, wi)
+    denom4 = jnp.maximum(4 * sc.abs_cos_theta(wo) * sc.abs_cos_theta(wi), EPS)
+    pdf_wm = sc.ggx_pdf(alpha, wi, wm_f) / jnp.maximum(4 * jnp.abs(dot(wi, wm_f)), EPS)
+    wm_ok = (dot(wm_f, wo) * sc.cos_theta(wo) > 0.0) & (
+        dot(wm_f, wi) * sc.cos_theta(wi) > 0.0
+    )
+
+    out_f = jnp.zeros((n_l, 3), jnp.float32)
+    out_pdf = jnp.zeros((n_l,), jnp.float32)
+
+    def put(mask, f, pdf):
+        nonlocal out_f, out_pdf
+        out_f = _sel(mask, f, out_f)
+        out_pdf = jnp.where(mask, pdf, out_pdf)
+
+    # Diffuse
+    f_d = albedo / Pi
+    pdf_d = sc.abs_cos_theta(wo) / Pi
+    put((tag == BX_DIFFUSE) & same, f_d, pdf_d)
+
+    # Conductor
+    fr_c = sc.fr_schlick(albedo, jnp.abs(dot(wi, wm)))
+    put((tag == BX_CONDUCTOR) & same, fr_c * (dg / denom4)[..., None], pdf_wm)
+
+    # Refractive (reflection only)
+    put((tag == BX_REFRACTIVE) & same & wm_ok, albedo * (dg / denom4)[..., None], pdf_wm)
+
+    # RefractiveDielectric: reflection part only for NEE (transmission handled
+    # by sampling; reference f covers both but NEE light paths are reflective)
+    fr_diel = sc.fr_dielectric(dot(wi, wm_f), ior)
+    put(
+        (tag == BX_REFR_DIELECTRIC) & same & wm_ok,
+        albedo * (fr_diel * dg / denom4)[..., None],
+        fr_diel * pdf_wm,
+    )
+
+    # DiffusiveDielectric: diffuse + specular mix (bxdf.cpp:289-325)
+    alpha_raw = rough * rough
+    diffused = albedo * ((1.0 - fr_diel) / Pi)[..., None]
+    spec = (fr_diel * dg / denom4)[..., None]
+    f_dd = jnp.where((alpha_raw < DELTA_ALPHA)[..., None], diffused, diffused + spec)
+    pt = (1.0 - fr_diel) * sc.abs_cos_theta(wo) / Pi
+    pr = fr_diel * pdf_wm
+    pdf_dd = jnp.where(alpha_raw < DELTA_ALPHA, pt, pt + pr)
+    put((tag == BX_DIFF_DIELECTRIC) & same & wm_ok, f_dd, pdf_dd)
+
+    # BSSRDF
+    put(tag == BX_BSSRDF, albedo / Pi, sc.abs_cos_theta(wo) / Pi)
+
+    return out_f, out_pdf

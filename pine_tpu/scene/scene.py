@@ -1,0 +1,327 @@
+"""Scene: host-side container + compilation into SoA device tables.
+
+Parity: src/pine/core/scene.h/.cpp — ``add`` of shapes/materials/lights,
+emissive geometry auto-registers an AreaLight (scene.cpp:14-21).
+
+``Scene.compile()`` flattens every analytic shape into its type's dense
+parameter table and builds per-global-shape index maps; the renderer's
+intersection is then one dense kernel per shape *type* (no per-ray variant
+dispatch — SURVEY.md design translation table).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pine_tpu.scene import intersect as I
+from pine_tpu.scene import lights as L
+from pine_tpu.scene import materials as M
+from pine_tpu.scene import nodes as N
+from pine_tpu.scene import shapes as S
+
+BIG = I.BIG
+
+
+class Scene:
+    def __init__(self):
+        self.materials = {}  # name -> Material
+        self.geometries = []  # (shape, material)
+        self.lights = []
+        self.mediums = []
+        self.env_light = None
+        self.camera = None
+        self._compiled = None
+
+    # ---- PRL-visible API ---------------------------------------------------
+    def add_material(self, name, material):
+        self.materials[name] = material
+        self._compiled = None
+        return material
+
+    def add_geometry(self, shape, material):
+        if isinstance(material, str):
+            if material not in self.materials:
+                raise RuntimeError(f"Can't find material `{material}`")
+            material = self.materials[material]
+        from pine_tpu.scene.csg import CSGShape
+
+        if isinstance(shape, CSGShape):
+            # CSG shapes flatten at compile time; store as-is.
+            pass
+        self.geometries.append((shape, material))
+        self._compiled = None
+        return material
+
+    def add(self, *args):
+        """Overload dispatch mirroring scene_context (scene.cpp:64-81)."""
+        if len(args) == 2 and isinstance(args[0], str):
+            return self.add_material(args[0], args[1])
+        if len(args) == 2:
+            return self.add_geometry(args[0], args[1])
+        (x,) = args
+        if isinstance(x, L.Light):
+            self.lights.append(x)
+            self._compiled = None
+            return x
+        raise TypeError(f"Scene.add: unsupported argument {x!r}")
+
+    def set(self, x):
+        from pine_tpu.core.camera import ThinLenCamera
+
+        if isinstance(x, ThinLenCamera):
+            self.camera = x
+        elif isinstance(x, L.EnvironmentLight):
+            self.env_light = x
+            self._compiled = None
+        else:
+            raise TypeError(f"Scene.set: unsupported argument {x!r}")
+        return x
+
+    def get_aabb(self):
+        lo = np.full(3, np.inf, np.float32)
+        up = np.full(3, -np.inf, np.float32)
+        for shape, _ in self.geometries:
+            a, b = shape.get_aabb()
+            lo = np.minimum(lo, a)
+            up = np.maximum(up, b)
+        return lo, up
+
+    def compile(self):
+        if self._compiled is None:
+            self._compiled = CompiledScene(self)
+        return self._compiled
+
+
+class CompiledScene:
+    """SoA device tables + static dispatch metadata for one Scene."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        mat_slots = []  # unique material objects in slot order
+        mat_of = {}
+
+        def mat_slot(m):
+            key = id(m)
+            if key not in mat_of:
+                mat_of[key] = len(mat_slots)
+                mat_slots.append(m)
+            return mat_of[key]
+
+        per_type = {}  # type_id -> list of param rows
+        type_global = {}  # type_id -> list of global idx
+        g_type, g_local, g_mat = [], [], []
+        self.sdf_shapes = []  # (SDFShape, global_idx)
+        self.meshes = []  # (Mesh, global_idx)
+        area_lights = []
+
+        def add_flat(shape, mslot):
+            gidx = len(g_type)
+            if isinstance(shape, S.SDFShape):
+                g_type.append(S.SDF_TYPE)
+                g_local.append(len(self.sdf_shapes))
+                self.sdf_shapes.append((shape, gidx))
+            elif isinstance(shape, S.Mesh):
+                g_type.append(S.MESH_TYPE)
+                g_local.append(len(self.meshes))
+                self.meshes.append((shape, gidx))
+            else:
+                tid = shape.type_id
+                rows = per_type.setdefault(tid, [])
+                type_global.setdefault(tid, []).append(gidx)
+                g_type.append(tid)
+                g_local.append(len(rows))
+                rows.append(shape.params())
+            g_mat.append(mslot)
+            return gidx
+
+        from pine_tpu.scene.csg import CSGShape
+
+        for shape, mat in scene.geometries:
+            mslot = mat_slot(mat)
+            if isinstance(shape, CSGShape):
+                gidx = len(g_type)
+                g_type.append(-1)  # handled by csg tables (future)
+                g_local.append(-1)
+                g_mat.append(mslot)
+                continue
+            gidx = add_flat(shape, mslot)
+            if mat.is_emissive():
+                area_lights.append(L.AreaLight(shape, mat, gidx))
+
+        self.materials = mat_slots
+        self.n_global = len(g_type)
+        self.g_type = np.asarray(g_type, np.int32)
+        self.g_local = np.asarray(g_local, np.int32)
+        self.g_mat = np.asarray(g_mat, np.int32)
+        self.tables = {
+            tid: jnp.asarray(np.stack(rows)) for tid, rows in per_type.items()
+        }
+        self.type_global = {
+            tid: jnp.asarray(np.asarray(v, np.int32)) for tid, v in type_global.items()
+        }
+        self.g_type_dev = jnp.asarray(self.g_type)
+        self.g_local_dev = jnp.asarray(self.g_local)
+        self.g_mat_dev = jnp.asarray(self.g_mat)
+
+        # light list = scene lights + area lights + env light (lightsampler.cpp:6-10)
+        self.lights = list(scene.lights) + area_lights
+        if scene.env_light is not None:
+            self.lights.append(scene.env_light)
+        self.env_light = scene.env_light
+        # which global shapes are emissive (for hit-side Le and MIS pdf)
+        self.emissive_globals = {al.global_idx: al for al in area_lights}
+
+        # meshes -> BVH accel
+        self.mesh_accels = []
+        if self.meshes:
+            from pine_tpu.accel.bvh import build_mesh_bvh
+
+            for mesh, gidx in self.meshes:
+                self.mesh_accels.append((build_mesh_bvh(mesh), gidx))
+
+    # ---- device-side queries ----------------------------------------------
+    def intersect(self, ro, rd, tmin, tmax, want_closest=True):
+        """Closest hit over all shape types. Returns (t, gidx, hit, mesh_tri)."""
+        n = ro.shape[0]
+        best_t = jnp.full((n,), BIG, jnp.float32)
+        best_g = jnp.full((n,), -1, jnp.int32)
+        mesh_tri = jnp.zeros((n,), jnp.int32)
+        tmin_b = tmin[:, None] if jnp.ndim(tmin) == 1 else tmin
+        tmax_b = tmax[:, None] if jnp.ndim(tmax) == 1 else tmax
+        for tid, params in self.tables.items():
+            tmat = I.INTERSECT[tid](params, ro, rd, tmin_b, tmax_b)
+            t_min = jnp.min(tmat, axis=1)
+            idx = jnp.argmin(tmat, axis=1).astype(jnp.int32)
+            g = self.type_global[tid][idx]
+            better = t_min < best_t
+            best_t = jnp.where(better, t_min, best_t)
+            best_g = jnp.where(better, g, best_g)
+        for (sdf, gidx) in self.sdf_shapes:
+            t = _sdf_march(sdf, ro, rd, jnp.ravel(tmin), jnp.minimum(jnp.ravel(tmax), best_t))
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_g = jnp.where(better, gidx, best_g)
+        for (accel, gidx) in self.mesh_accels:
+            from pine_tpu.accel.traverse import bvh_intersect
+
+            t, tri = bvh_intersect(
+                accel, ro, rd, jnp.ravel(jnp.broadcast_to(tmin, (n,))), jnp.minimum(jnp.broadcast_to(tmax, (n,)), best_t)
+            )
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_g = jnp.where(better, gidx, best_g)
+            mesh_tri = jnp.where(better, tri, mesh_tri)
+        hit = best_t < BIG
+        return best_t, best_g, hit, mesh_tri
+
+    def any_hit(self, ro, rd, tmin, tmax):
+        """Shadow-ray occlusion query."""
+        t, g, hit, _ = self.intersect(ro, rd, tmin, tmax)
+        return hit
+
+    def surface_info(self, gidx, p, mesh_tri=None):
+        """Per-lane (p_corrected, n, uv) by masked per-type dispatch."""
+        n_l = p.shape[0]
+        tid_lane = self.g_type_dev[jnp.clip(gidx, 0, self.n_global - 1)]
+        local = self.g_local_dev[jnp.clip(gidx, 0, self.n_global - 1)]
+        out_p, out_n = p, jnp.zeros_like(p)
+        out_uv = jnp.zeros((n_l, 2), jnp.float32)
+        for tid, params in self.tables.items():
+            rows = params[jnp.clip(local, 0, params.shape[0] - 1)]
+            pc, nn, uv = I.SURFACE_INFO[tid](rows, p)
+            m = (tid_lane == tid)[:, None]
+            out_p = jnp.where(m, pc, out_p)
+            out_n = jnp.where(m, nn, out_n)
+            out_uv = jnp.where(m, uv, out_uv)
+        for k, (sdf, g) in enumerate(self.sdf_shapes):
+            nn = _sdf_normal(sdf, p)
+            m = (gidx == g)[:, None]
+            out_n = jnp.where(m, nn, out_n)
+        for (accel, g) in self.mesh_accels:
+            from pine_tpu.accel.traverse import mesh_surface_info
+
+            if mesh_tri is None:
+                continue
+            pc, nn, uv = mesh_surface_info(accel, mesh_tri, p)
+            m = (gidx == g)[:, None]
+            out_p = jnp.where(m, pc, out_p)
+            out_n = jnp.where(m, nn, out_n)
+            out_uv = jnp.where(m, uv, out_uv)
+        return out_p, out_n, out_uv
+
+    def light_pdf_at_hit(self, gidx, ro, rd, t, ns):
+        """Area pdf of the hit emissive shape under the uniform light sampler
+        (lightsampler.cpp pdf = shape.pdf / n_lights)."""
+        n_lights = max(len(self.lights), 1)
+        pdf = jnp.zeros(t.shape, jnp.float32)
+        local = self.g_local_dev[jnp.clip(gidx, 0, self.n_global - 1)]
+        for g, al in self.emissive_globals.items():
+            tid = al.shape.type_id
+            params = self.tables[tid]
+            rows = params[jnp.clip(local, 0, params.shape[0] - 1)]
+            p_t = I.PDF[tid](rows, ro, rd, t, ns)
+            pdf = jnp.where(gidx == g, p_t, pdf)
+        return pdf / n_lights
+
+    def is_emissive_lane(self, gidx):
+        if not self.emissive_globals:
+            return jnp.zeros(gidx.shape, bool)
+        m = jnp.zeros(gidx.shape, bool)
+        for g in self.emissive_globals:
+            m = m | (gidx == g)
+        return m
+
+    def emissive_le(self, gidx, ctx, wo):
+        """Le of the hit emissive shape (material.h EmissiveMaterial::le)."""
+        n_l = wo.shape[0]
+        le = jnp.zeros((n_l, 3), jnp.float32)
+        from pine_tpu.core.vecmath import dot
+
+        for g, al in self.emissive_globals.items():
+            color = N.eval_vec3_node(al.material.color, ctx, n_l)
+            front = dot(wo, ctx["n"]) >= 0.0
+            le_g = jnp.where(front[:, None], color, 0.0)
+            le = jnp.where((gidx == g)[:, None], le_g, le)
+        return le
+
+
+def _sdf_march(sdf, ro, rd, tmin, tmax, steps=128, eps=1e-5):
+    """Sphere-trace (geometry.cpp:730-753), vectorized with fixed step count."""
+    import jax
+
+    def body(i, carry):
+        t, done_hit, done_miss = carry
+        p = ro + t[:, None] * rd
+        d = sdf.fn(p)
+        hit_now = (d < eps) & ~done_miss
+        miss_now = (t >= tmax) & ~done_hit
+        done_hit = done_hit | hit_now
+        done_miss = done_miss | miss_now
+        active = ~(done_hit | done_miss)
+        t = jnp.where(active, t + d, t)
+        return t, done_hit, done_miss
+
+    n = ro.shape[0]
+    t0 = jnp.maximum(jnp.broadcast_to(tmin, (n,)), 0.0)
+    t, hit, miss = jax.lax.fori_loop(
+        0, steps, body, (t0, jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    )
+    return jnp.where(hit, t, BIG)
+
+
+def _sdf_normal(sdf, p, ops=1e-4):
+    """Central-difference normal (geometry.cpp:755-762; step enlarged for f32)."""
+    from pine_tpu.core.vecmath import safe_normalize
+
+    dx = jnp.asarray([ops, 0.0, 0.0])
+    dy = jnp.asarray([0.0, ops, 0.0])
+    dz = jnp.asarray([0.0, 0.0, ops])
+    g = jnp.stack(
+        [
+            sdf.fn(p + dx) - sdf.fn(p - dx),
+            sdf.fn(p + dy) - sdf.fn(p - dy),
+            sdf.fn(p + dz) - sdf.fn(p - dz),
+        ],
+        axis=-1,
+    )
+    return safe_normalize(g)
