@@ -77,13 +77,13 @@ class PathIntegrator:
 _RENDER_CACHE = {}
 
 
-def render_wavefront(cscene, cam, W, H, sampler, spp, max_depth, seed=0):
+def render_wavefront(cscene, cam, W, H, sampler, spp, max_depth, seed=0, nee=True):
     """Render and return (H,W,3) mean radiance.
 
     The whole spp x depth wavefront compiles into one jit program, cached per
     (scene, camera, sampler, config) identity.
     """
-    key = (id(cscene), id(cam), id(sampler), W, H, spp, max_depth, seed)
+    key = (id(cscene), id(cam), id(sampler), W, H, spp, max_depth, seed, nee)
     if key not in _RENDER_CACHE:
         n = W * H
         cam_params = cam.params()
@@ -93,7 +93,7 @@ def render_wavefront(cscene, cam, W, H, sampler, spp, max_depth, seed=0):
 
             def body(i, acc):
                 return acc + path_trace_sample(
-                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth
+                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth, nee
                 )
 
             total = jax.lax.fori_loop(0, spp, body, jnp.zeros((n, 3), jnp.float32))
@@ -103,7 +103,7 @@ def render_wavefront(cscene, cam, W, H, sampler, spp, max_depth, seed=0):
     return _RENDER_CACHE[key]()
 
 
-def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, max_depth):
+def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, max_depth, nee=True):
     """One sample per pixel through the full wavefront depth loop -> (N,3)."""
     n = xs.shape[0]
     f32 = jnp.float32
@@ -187,7 +187,7 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         wi = to_local(ns, wi_world)
 
         # ---- NEE (path.cpp:98-113) ----
-        if n_lights > 0:
+        if n_lights > 0 and nee:
             u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
             u_light = sampler.u2(xs, ys, sample_index, dim + 1)
             pick = jnp.clip((u_sel * n_lights).astype(jnp.int32), 0, n_lights - 1)

@@ -2,7 +2,7 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh (SURVEY.md §4: multi-chip tests via
 # host-platform device-count simulation).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
