@@ -24,6 +24,12 @@ def main(argv=None):
         with Profiler("Total"):
             interpret_file(path)
     except Exception as e:  # mirror pine.cpp's catch-log behavior
+        import os
+
+        if os.environ.get("PINE_DEBUG"):
+            import traceback
+
+            traceback.print_exc()
         print(f"[Error] {e}")
         return 1
     Profiler.finalize()

@@ -221,9 +221,9 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
             cosine = jnp.abs(dot(ls_wo, ns))
             mis_l = jnp.where(ls_delta, 1.0, balance_heuristic(ls_pdf, pdf_l))
-            nee = beta * ls_le * f_l * (cosine / jnp.maximum(ls_pdf, 1e-20) * mis_l)[:, None]
+            nee_contrib = beta * ls_le * f_l * (cosine / jnp.maximum(ls_pdf, 1e-20) * mis_l)[:, None]
             L_indirect = L_indirect + jnp.where(
-                (do_nee & ~occluded)[:, None], nee, 0.0
+                (do_nee & ~occluded)[:, None], nee_contrib, 0.0
             )
 
         # ---- BSDF sampling & continuation (path.cpp:114-120) ----

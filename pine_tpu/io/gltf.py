@@ -150,7 +150,7 @@ def iter_glb_meshes(filename_or_bytes, transform=None):
     gltf, binary = parse_glb(data)
     reader = _Reader(gltf, binary)
     textures_cache = {}
-    base = np.eye(4, np.float32) if transform is None else np.asarray(transform, np.float32)
+    base = np.eye(4, dtype=np.float32) if transform is None else np.asarray(transform, np.float32)
 
     scene_idx = gltf.get("scene", 0)
     roots = gltf["scenes"][scene_idx]["nodes"] if "scenes" in gltf else range(len(gltf["nodes"]))

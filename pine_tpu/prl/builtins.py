@@ -809,7 +809,7 @@ def make_registry(interp):
         from pine_tpu.io.gltf import load_glb_into_scene
 
         load_glb_into_scene(
-            scene, filename, np.eye(4, np.float32) if m is None else np.asarray(m.data)
+            scene, filename, np.eye(4, dtype=np.float32) if m is None else np.asarray(m.data)
         )
 
     @register("quick_render")

@@ -106,13 +106,42 @@ class AreaLight(Light):
         self.material = material
         self.global_idx = int(global_idx)
 
-    def sample(self, p, u2, u1, ctx):
+    def _sample_shape(self, p, u2, u1):
         from pine_tpu.scene import intersect as I
+        from pine_tpu.scene import shapes as S
 
         n = p.shape[0]
+        if isinstance(self.shape, S.Mesh):
+            # area-proportional triangle pick via u1, uniform point via u2
+            areas = self.shape.triangle_areas()
+            cdf = jnp.asarray((np.cumsum(areas) / max(areas.sum(), 1e-20)).astype(np.float32))
+            tri = jnp.clip(
+                jnp.searchsorted(cdf, jnp.asarray(u1, jnp.float32)), 0, len(areas) - 1
+            )
+            v = jnp.asarray(self.shape.vertices)
+            f = jnp.asarray(self.shape.indices.astype(np.int32))[tri]
+            v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+            flip = (u2[:, 0] + u2[:, 1]) > 1.0
+            uu = jnp.where(flip[:, None], 1.0 - u2, u2)
+            sp = v0 + uu[:, 0:1] * (v1 - v0) + uu[:, 1:2] * (v2 - v0)
+            nrm = jnp.cross(v1 - v0, v2 - v0)
+            nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = nrm / jnp.maximum(nlen, 1e-20)
+            dvec = sp - p
+            dist = jnp.linalg.norm(dvec, axis=-1)
+            w = dvec / jnp.maximum(dist[:, None], 1e-20)
+            total_area = float(areas.sum())
+            pdf = dist**2 / jnp.maximum(
+                jnp.abs(jnp.sum(w * nrm, -1)) * total_area, 1e-20
+            )
+            return dict(p=sp, n=nrm, w=w, distance=dist, pdf=pdf)
         params = jnp.asarray(self.shape.params())
         rows = jnp.broadcast_to(params, (n,) + params.shape)
-        ss = I.SAMPLE[self.shape.type_id](rows, p, u2)
+        return I.SAMPLE[self.shape.type_id](rows, p, u2)
+
+    def sample(self, p, u2, u1, ctx):
+        n = p.shape[0]
+        ss = self._sample_shape(p, u2, u1)
         ectx = dict(p=ss["p"], n=ss["n"], uv=jnp.zeros((n, 2), jnp.float32))
         le = N.eval_vec3_node(self.material.color, ectx, n)
         # emissive only from the front face (material.h le: dot(wo, n) >= 0)

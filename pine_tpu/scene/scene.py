@@ -257,9 +257,15 @@ class CompiledScene:
         local = self.g_local_dev[jnp.clip(gidx, 0, self.n_global - 1)]
         for g, al in self.emissive_globals.items():
             tid = al.shape.type_id
-            params = self.tables[tid]
-            rows = params[jnp.clip(local, 0, params.shape[0] - 1)]
-            p_t = I.PDF[tid](rows, ro, rd, t, ns)
+            if tid == S.MESH_TYPE:
+                area = max(al.shape.area(), 1e-20)
+                from pine_tpu.core.vecmath import dot as _dot
+
+                p_t = t**2 / jnp.maximum(area * jnp.abs(_dot(ns, rd)), 1e-20)
+            else:
+                params = self.tables[tid]
+                rows = params[jnp.clip(local, 0, params.shape[0] - 1)]
+                p_t = I.PDF[tid](rows, ro, rd, t, ns)
             pdf = jnp.where(gidx == g, p_t, pdf)
         return pdf / n_lights
 
