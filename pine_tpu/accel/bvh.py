@@ -19,7 +19,47 @@ LEAF_MAX = 4
 N_BUCKETS = 16
 
 
-def build_mesh_bvh(mesh):
+def build_scene_bvh(meshes):
+    """Build ONE BVH over the union of several meshes' triangles.
+
+    meshes: list of (Mesh, global_shape_idx, material_slot).  The combined
+    accel carries per-triangle ``tri_gidx`` so hits resolve to the owning
+    scene geometry (for material/emissive dispatch) without a second level —
+    the TPU analogue of the reference's two-level tbvh/lbvh (bvh.cpp:453-548)
+    flattened at build time.
+    """
+    import numpy as _np
+
+    verts = []
+    faces = []
+    normals = []
+    texcoords = []
+    gidxs = []
+    have_n = all(m.normals is not None for m, _, _ in meshes)
+    have_t = all(m.texcoords is not None for m, _, _ in meshes)
+    off = 0
+    for mesh, gidx, _slot in meshes:
+        verts.append(mesh.vertices)
+        faces.append(mesh.indices.astype(_np.int64) + off)
+        gidxs.append(_np.full(len(mesh.indices), gidx, _np.int32))
+        if have_n:
+            normals.append(mesh.normals)
+        if have_t:
+            texcoords.append(mesh.texcoords)
+        off += len(mesh.vertices)
+    from pine_tpu.scene.shapes import Mesh as _Mesh
+
+    combined = _Mesh(
+        _np.concatenate(verts),
+        _np.concatenate(faces).astype(_np.uint32),
+        _np.concatenate(texcoords) if have_t else None,
+        _np.concatenate(normals) if have_n else None,
+    )
+    accel = build_mesh_bvh(combined, tri_gidx=_np.concatenate(gidxs))
+    return accel
+
+
+def build_mesh_bvh(mesh, tri_gidx=None):
     """-> dict of numpy/jnp arrays (see traverse.bvh_intersect)."""
     import jax.numpy as jnp
 
@@ -80,6 +120,10 @@ def build_mesh_bvh(mesh):
     accel["geom_n"] = jnp.asarray(
         np.concatenate([gn, np.zeros((pad, 3))]).astype(np.float32)
     )
+    if tri_gidx is not None:
+        accel["tri_gidx"] = jnp.asarray(
+            np.concatenate([tri_gidx[order], np.zeros(pad, np.int32)]).astype(np.int32)
+        )
     if mesh.normals is not None:
         vn = mesh.normals
         accel["n0"] = pack(vn[fo[:, 0]])

@@ -171,13 +171,15 @@ class CompiledScene:
         # which global shapes are emissive (for hit-side Le and MIS pdf)
         self.emissive_globals = {al.global_idx: al for al in area_lights}
 
-        # meshes -> BVH accel
-        self.mesh_accels = []
+        # meshes -> ONE combined BVH over all triangles, hits resolved back to
+        # owning geometry via per-triangle gidx (two-level flattened at build)
+        self.mesh_accel = None
         if self.meshes:
-            from pine_tpu.accel.bvh import build_mesh_bvh
+            from pine_tpu.accel.bvh import build_scene_bvh
 
-            for mesh, gidx in self.meshes:
-                self.mesh_accels.append((build_mesh_bvh(mesh), gidx))
+            self.mesh_accel = build_scene_bvh(
+                [(mesh, gidx, int(self.g_mat[gidx])) for mesh, gidx in self.meshes]
+            )
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):
@@ -201,15 +203,23 @@ class CompiledScene:
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
             best_g = jnp.where(better, gidx, best_g)
-        for (accel, gidx) in self.mesh_accels:
+        if self.mesh_accel is not None:
             from pine_tpu.accel.traverse import bvh_intersect
 
             t, tri = bvh_intersect(
-                accel, ro, rd, jnp.ravel(jnp.broadcast_to(tmin, (n,))), jnp.minimum(jnp.broadcast_to(tmax, (n,)), best_t)
+                self.mesh_accel,
+                ro,
+                rd,
+                jnp.broadcast_to(tmin, (n,)),
+                jnp.minimum(jnp.broadcast_to(tmax, (n,)), best_t),
             )
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
-            best_g = jnp.where(better, gidx, best_g)
+            if "tri_gidx" in self.mesh_accel:
+                g_of_tri = self.mesh_accel["tri_gidx"][tri]
+            else:
+                g_of_tri = jnp.full((n,), self.meshes[0][1], jnp.int32)
+            best_g = jnp.where(better, g_of_tri, best_g)
             mesh_tri = jnp.where(better, tri, mesh_tri)
         hit = best_t < BIG
         return best_t, best_g, hit, mesh_tri
@@ -237,13 +247,11 @@ class CompiledScene:
             nn = _sdf_normal(sdf, p)
             m = (gidx == g)[:, None]
             out_n = jnp.where(m, nn, out_n)
-        for (accel, g) in self.mesh_accels:
+        if self.mesh_accel is not None and mesh_tri is not None:
             from pine_tpu.accel.traverse import mesh_surface_info
 
-            if mesh_tri is None:
-                continue
-            pc, nn, uv = mesh_surface_info(accel, mesh_tri, p)
-            m = (gidx == g)[:, None]
+            pc, nn, uv = mesh_surface_info(self.mesh_accel, mesh_tri, p)
+            m = (tid_lane == S.MESH_TYPE)[:, None]
             out_p = jnp.where(m, pc, out_p)
             out_n = jnp.where(m, nn, out_n)
             out_uv = jnp.where(m, uv, out_uv)
