@@ -1,0 +1,107 @@
+"""Driver benchmark: the BASELINE.json north-star config.
+
+README cbox scene (full PRL script including the 441-cone floor and metal
+box), 640x640, BlueSampler(16), PathIntegrator depth 4, on whatever device
+JAX selects (TPU under the driver).  Prints ONE JSON line:
+
+  {"metric": ..., "value": Mray/s, "unit": "Mray/s", "vs_baseline": value/300}
+
+Ray accounting: per sample, depth-4 path = up to 4 extension rays + 3 NEE
+shadow rays = 7 traced rays (the wavefront traces all of them, dead lanes
+masked), so rays/frame = W*H*spp*7.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+CBOX_PRL = """
+scene := Scene();
+image_size := [640, 640];
+
+scene.add("floor", Diffuse([0.9, 0.9, 0.9]));
+scene.add("red", Diffuse([0.9, 0.1, 0.05]));
+scene.add("green", Diffuse([0.2, 0.9, 0.05]));
+scene.add("metal", Metal([1, 1, 1], 0.0));
+scene.add("glossy", Glossy([1, 1, 1] / 4.0, 0.05));
+scene.add("skin", Subsurface([1, 1, 1], 0.0, 40.0));
+
+scene.add(Rect([0, 0, 1], [2, 0, 0], [0, 0, 2]), "floor");
+scene.add(Rect([0, 2, 1], [2, 0, 0], [0, 0, 2]), "floor");
+scene.add(Rect([-1, 1, 1], [0, 0, 2], [0, 2, 0]), "red");
+scene.add(Rect([1, 1, 1], [0, 0, 2], [0, 2, 0]), "green");
+scene.add(Rect([0, 1, 2], [2, 0, 0], [0, 2, 0]), "floor");
+
+for x in -1.0 ~ 0.1 ~ 1.0 {
+    for z in 0.0 ~ 0.1 ~ 2.0 {
+        scene.add(Cone([x, 0, z], Y, 0.05, 0.05), "floor");
+    }
+}
+scene.add(Box(AABB([0, 0, 0], [1, 1, 1]), translate([0.0, 0.0, 0.6]) * rotate_y(0.4) * scale([0.6, 0.6, 0.6])), "floor");
+scene.add(Box(AABB([0, 0, 0], [1, 1, 1]), translate([-0.6, 0.0, 1.0]) * rotate_y(-0.4) * scale([0.6, 1.3, 0.6])), "metal");
+
+scene.add(Rect([0.0, 1.9, 0.5], [0.1, 0, 0], [0, 0, 0.1]), Emissive(600 * [1.0, 0.64, 0.185]));
+
+scene.set(ThinLenCamera(Film(image_size, Uncharted2()), [0, 1, -4], [0, 1, 0], 0.25));
+"""
+
+W = H = 640
+SPP = 16
+DEPTH = 4
+RAYS_PER_SAMPLE = DEPTH + (DEPTH - 1)  # extensions + NEE shadows
+BASELINE_MRAYS = 300.0  # BASELINE.json north star (>=300 Mray/s)
+
+
+def main():
+    import numpy as np
+
+    from pine_tpu.core.samplers import BlueSampler
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.prl.interp import Interpreter
+
+    itp = Interpreter()
+    itp.run(CBOX_PRL, "<bench:cbox>")
+    scene = itp.get_var("scene")
+    cam = scene.camera
+    cscene = scene.compile()
+    sampler = BlueSampler(SPP)
+
+    # warm-up / compile
+    img = render_wavefront(cscene, cam, W, H, sampler, SPP, DEPTH)
+    np.asarray(img)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = render_wavefront(cscene, cam, W, H, sampler, SPP, DEPTH)
+        img.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rays = W * H * SPP * RAYS_PER_SAMPLE
+    mrays = rays / wall / 1e6
+
+    # keep the image around for quality inspection
+    try:
+        from pine_tpu.io.image_io import save_image
+        from pine_tpu.core import color
+
+        save_image("bench_cbox.png", np.asarray(color.uncharted2_filmic(img)), invert_y=True)
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "cbox 640x640x16spp path-depth4 throughput",
+                "value": round(mrays, 2),
+                "unit": "Mray/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+                "wall_s": round(wall, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -328,10 +328,12 @@ def make_registry(interp):
                     )
                 import jax.numpy as jnp
 
-                return PrlVec(
-                    jnp.broadcast_to(jnp.asarray(a, jnp.int32 if is_int else jnp.float32), np.shape(a) + (n,)) if np.ndim(a) else jnp.full((n,), a, jnp.int32 if is_int else jnp.float32),
-                    is_int,
-                )
+                av = jnp.asarray(a, jnp.int32 if is_int else jnp.float32)
+                if av.ndim:
+                    return PrlVec(
+                        jnp.broadcast_to(av[..., None], av.shape + (n,)), is_int
+                    )
+                return PrlVec(jnp.full((n,), av), is_int)
             comps = list(args)
             flat = []
             for c in comps:

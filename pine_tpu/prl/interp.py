@@ -280,11 +280,16 @@ class Interpreter:
         self.builtins = B.make_registry(self)
         if extra_builtins:
             self.builtins.update(extra_builtins)
+        self.script_env = Env(self.globals)
 
     # ---- public API ----
     def run(self, source, filename="<script>"):
         block = parse(source, filename)
-        self.exec_block(block, Env(self.globals), new_scope=False)
+        self.exec_block(block, self.script_env, new_scope=False)
+
+    def get_var(self, name):
+        cell = self.script_env.find(name)
+        return None if cell is None else cell.get()
 
     # ---- helpers ----
     def bind_params(self, env, params, args):

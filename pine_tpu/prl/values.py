@@ -156,16 +156,23 @@ def _unwrap_scalar(x, is_int):
 
 def make_vec(components):
     """[a,b,c] literal -> vec (int variant iff all components are ints;
-    jit.cpp Vector::emit)."""
+    jit.cpp Vector::emit).  Under batched tracing, scalar components
+    broadcast to the lane shape of the traced ones."""
     allint = all(is_int_value(c) for c in components)
     m = xp(*components)
     comps = [c.data if isinstance(c, PrlVec) else c for c in components]
     if m is np:
-        arr = np.asarray(comps, np.int32 if allint else np.float32)
+        arr = np.asarray(comps, np.int32 if allint else np.float32).T if any(
+            np.ndim(c) for c in comps
+        ) else np.asarray(comps, np.int32 if allint else np.float32)
     else:
         import jax.numpy as jnp
 
-        arr = jnp.stack([jnp.asarray(c, jnp.int32 if allint else jnp.float32) for c in comps], -1)
+        dt = jnp.int32 if allint else jnp.float32
+        comps = [jnp.asarray(c, dt) for c in comps]
+        shape = np.broadcast_shapes(*[c.shape for c in comps])
+        comps = [jnp.broadcast_to(c, shape) for c in comps]
+        arr = jnp.stack(comps, -1)
     return PrlVec(arr, allint)
 
 

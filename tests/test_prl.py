@@ -1,0 +1,267 @@
+import numpy as np
+import pytest
+
+from pine_tpu.prl.interp import Interpreter, PRLRuntimeError
+from pine_tpu.prl.parser import PRLSyntaxError, parse
+from pine_tpu.prl.values import PrlVec
+
+
+def run(src):
+    out = []
+    itp = Interpreter(out=out.append)
+    itp.run(src)
+    return out, itp
+
+
+def test_arithmetic_and_print():
+    out, _ = run("println(1 + 2 * 3);")
+    assert out == ["7"]
+
+
+def test_int_division_truncates():
+    out, _ = run("println(7 / 2); println(-7 / 2); println(7 % 2);")
+    assert out == ["3", "-3", "1"]
+
+
+def test_declare_vs_assign():
+    out, _ = run(
+        """
+x := 1;
+x = x + 1;
+y = 10;
+println(x, " ", y);
+"""
+    )
+    assert out == ["2 10"]
+
+
+def test_ranges():
+    out, _ = run(
+        """
+s = 0;
+for i in 0..5 { s += i; }
+println(s);
+t = 0.0;
+for f in 0.0~0.5~1.0 { t += f; }
+println(t);
+"""
+    )
+    assert out == ["10", "1.5"]
+
+
+def test_c_style_for_and_while():
+    out, _ = run(
+        """
+s = 0;
+for i = 0; i < 4; i++ { s += i; }
+println(s);
+w = 1;
+while (w < 10) { w = w * 2; }
+println(w);
+"""
+    )
+    assert out == ["6", "16"]
+
+
+def test_collatz_benchmark_small():
+    """scenes/benchmark.pine logic at reduced scale."""
+    out, _ = run(
+        """
+sum = 0;
+for n in 1..30 {
+    x = n;
+    iter = 0;
+    while (x != 1) {
+        if (x % 2 == 0) { x = x / 2; }
+        else { x = x * 3 + 1; }
+        iter += 1;
+    }
+    sum += iter;
+}
+println(sum);
+"""
+    )
+    # verified against a python implementation of the same loop
+    expected = 0
+    for n in range(1, 30):
+        x, it = n, 0
+        while x != 1:
+            x = x // 2 if x % 2 == 0 else 3 * x + 1
+            it += 1
+        expected += it
+    assert out == [str(expected)]
+
+
+def test_vector_literals_and_members():
+    out, _ = run(
+        """
+v := [1.0, 2.0, 3.0];
+println(v.x + v.y + v.z);
+i := [2, 3];
+println(i * 4);
+println(v[1]);
+"""
+    )
+    assert out == ["6", "[8, 12]", "2"]
+
+
+def test_vec_int_vs_float_literal():
+    _, itp = run("a := [1, 2]; b := [1.0, 2];")
+    assert itp.get_var("a").is_int
+    assert not itp.get_var("b").is_int
+
+
+def test_matrix_ops():
+    out, _ = run(
+        """
+m = translate([1.0, 0, 0]) * scale([2.0, 2, 2]);
+println(m * [1.0, 1, 1]);
+mm = mat2([0.0, 1.0], [-1.0, 0.0]);
+println(mm * [1.0, 0.0]);
+"""
+    )
+    assert out == ["[3, 2, 2]", "[0, 1]"]
+
+
+def test_fn_definition_and_recursion():
+    out, _ = run(
+        """
+fn fib(n: i32): i32 {
+    if (n < 2) { return n; }
+    return fib(n - 1) + fib(n - 2);
+}
+println(fib(10));
+"""
+    )
+    assert out == ["55"]
+
+
+def test_lambda_and_higher_order():
+    out, _ = run(
+        """
+fn make_adder(k: f32): (f32): f32 {
+    return (x: f32): f32 { return x + k; };
+}
+add3 := make_adder(3.0);
+println(add3(4.0));
+"""
+    )
+    assert out == ["7"]
+
+
+def test_class_with_ctor_and_method():
+    out, _ = run(
+        """
+class Counter {
+    ctor Counter(start: i32) {
+        value = start;
+    }
+    fn bump(amount: i32): i32 {
+        value += amount;
+        return value;
+    }
+    value: i32;
+}
+c := Counter(5);
+c.bump(2);
+println(c.bump(1));
+println(c.value);
+"""
+    )
+    assert out == ["8", "8"]
+
+
+def test_operator_precedence_quirks():
+    # reference resolves by max op code, leftmost ties: / binds before *
+    out, _ = run("println(8.0 * 4.0 / 2.0);")
+    assert out == ["16"]  # 8*(4/2)
+    out, _ = run("println(2 + 3 * 4 - 1);")
+    assert out == ["13"]
+
+
+def test_string_concat_and_quotes():
+    out, _ = run("println('a' + \"b\" + 1.5);")
+    assert out == ["ab1.5"]
+
+
+def test_comments():
+    out, _ = run("# a comment\nprintln(1); # trailing\n")
+    assert out == ["1"]
+
+
+def test_compound_assign_membership():
+    out, _ = run(
+        """
+v := [1.0, 2.0, 3.0];
+v.x += 10;
+println(v.x);
+"""
+    )
+    assert out == ["11"]
+
+
+def test_break_continue():
+    out, _ = run(
+        """
+s = 0;
+for i in 0..10 {
+    if (i == 3) { continue; }
+    if (i == 6) { break; }
+    s += i;
+}
+println(s);
+"""
+    )
+    assert out == ["12"]
+
+
+def test_syntax_error_reports_location():
+    with pytest.raises(PRLSyntaxError) as e:
+        parse("x := ;")
+    assert "Expect a primary expression" in str(e.value)
+
+
+def test_undefined_variable():
+    with pytest.raises(PRLRuntimeError):
+        run("println(nope);")
+
+
+def test_builtin_math():
+    out, _ = run("println(min(3, 7)); println(max_value([1.0, 5.0, 2.0]));")
+    assert out == ["3", "5"]
+
+
+def test_draw_fragment_traces_to_jax():
+    _, itp = run(
+        """
+img := draw([8, 8], (u: vec2): vec3 {
+    return [u.x, u.y, 0.5];
+});
+"""
+    )
+    img = itp.get_var("img")
+    arr = np.asarray(img.data)
+    assert arr.shape == (8, 8, 3)
+    # u.x increases along x, u.y along rows
+    assert arr[0, 0, 0] < arr[0, 7, 0]
+    assert arr[0, 0, 1] < arr[7, 0, 1]
+    assert np.allclose(arr[..., 2], 0.5)
+
+
+def test_draw_fragment_with_loop_and_mat2():
+    _, itp = run(
+        """
+img := draw([4, 4], (u: vec2): vec3 {
+    acc = 0.0;
+    for i in 0..3 {
+        m = mat2([0.0, 1.0], [-1.0, 0.0]);
+        u = m * u;
+        acc += u.x;
+    }
+    return vec3(acc);
+});
+"""
+    )
+    arr = np.asarray(itp.get_var("img").data)
+    assert arr.shape == (4, 4, 3)
+    assert np.isfinite(arr).all()
