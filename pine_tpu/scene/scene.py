@@ -136,13 +136,15 @@ class CompiledScene:
 
         from pine_tpu.scene.csg import CSGShape
 
+        self.csg_shapes = []
         for shape, mat in scene.geometries:
             mslot = mat_slot(mat)
             if isinstance(shape, CSGShape):
                 gidx = len(g_type)
-                g_type.append(-1)  # handled by csg tables (future)
-                g_local.append(-1)
+                g_type.append(-1)
+                g_local.append(len(self.csg_shapes))
                 g_mat.append(mslot)
+                self.csg_shapes.append((shape, gidx))
                 continue
             gidx = add_flat(shape, mslot)
             if mat.is_emissive():
@@ -203,6 +205,15 @@ class CompiledScene:
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
             best_g = jnp.where(better, gidx, best_g)
+        for (csg, gidx) in self.csg_shapes:
+            from pine_tpu.scene.csg_intersect import csg_intersect
+
+            t, hit_c = csg_intersect(
+                csg, ro, rd, jnp.broadcast_to(tmin, (n,)), jnp.minimum(jnp.broadcast_to(tmax, (n,)), best_t)
+            )
+            better = hit_c & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_g = jnp.where(better, gidx, best_g)
         if self.mesh_accel is not None:
             from pine_tpu.accel.traverse import bvh_intersect
 
@@ -245,6 +256,12 @@ class CompiledScene:
             out_uv = jnp.where(m, uv, out_uv)
         for k, (sdf, g) in enumerate(self.sdf_shapes):
             nn = _sdf_normal(sdf, p)
+            m = (gidx == g)[:, None]
+            out_n = jnp.where(m, nn, out_n)
+        for (csg, g) in self.csg_shapes:
+            from pine_tpu.scene.csg_intersect import csg_normal
+
+            nn = csg_normal(csg, p)
             m = (gidx == g)[:, None]
             out_n = jnp.where(m, nn, out_n)
         if self.mesh_accel is not None and mesh_tri is not None:
