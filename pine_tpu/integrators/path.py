@@ -13,15 +13,13 @@ applied once at the path level (everything except the depth-0 direct hit is
 clamped to 8), which matches whenever inner clamps don't bind (they bind only
 on extreme fireflies).
 
-Sampler dimension schedule per depth d (base = 4 + d*12):
-    +0,+1  pixel jitter (depth 0) / unused
-    +2,+3  lens sample (depth 0)
-    d: +0   light selection
-       +1,+2 light-sample u2
-       +3,+4 material lobe choices (uber/subsurface)
-       +5,+6 bxdf wm/cosine u2
-       +7    bxdf u1 (fresnel choice)
-       +8,+9 bxdf secondary u2
+Sampler dimension schedule: dims 0-3 = pixel jitter + lens; per depth d
+(base = 4 + d*16):
+    +0   light selection          +1,+2  light-sample u2
+    +3,+4 material lobe choices   +5,+6  bxdf wm u2
+    +7   bxdf fresnel u1          +8,+9  bxdf cosine u2
+    +10  medium tentative-t       +11    medium equiangular u
+    +12  medium light selection   +13,+14 medium light u2
 """
 from __future__ import annotations
 
@@ -127,12 +125,23 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
     n_lights = len(cscene.lights)
 
     for depth in range(max_depth):
-        dim = 4 + depth * 12
+        dim = 4 + depth * 16
 
         t, gidx, hitm, mesh_tri = cscene.intersect(
             ro, rd, tmin, jnp.full((n,), FLOAT_MAX, f32)
         )
         hitm = hitm & alive
+
+        # ---- medium single scatter (path.cpp:50-73, equiangular NEE) ----
+        if cscene.media and depth + 1 < max_depth and n_lights > 0:
+            L_indirect = L_indirect + _medium_scatter(
+                cscene, ro, rd, jnp.where(hitm, t, 1e8), beta, alive & ~diffused,
+                xs, ys, sampler, sample_index, dim,
+            )
+
+        # segment transmittance attenuates this vertex and all downstream
+        if cscene.media:
+            beta = beta * cscene.transmittance(ro, rd, jnp.where(hitm, t, 1e8))
 
         # ---- escaped rays: environment light (path.cpp:75-81) ----
         if cscene.env_light is not None:
@@ -222,6 +231,8 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             cosine = jnp.abs(dot(ls_wo, ns))
             mis_l = jnp.where(ls_delta, 1.0, balance_heuristic(ls_pdf, pdf_l))
             nee_contrib = beta * ls_le * f_l * (cosine / jnp.maximum(ls_pdf, 1e-20) * mis_l)[:, None]
+            if cscene.media:
+                nee_contrib = nee_contrib * cscene.transmittance(so, ls_wo, ls_dist)
             L_indirect = L_indirect + jnp.where(
                 (do_nee & ~occluded)[:, None], nee_contrib, 0.0
             )
@@ -244,3 +255,96 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         tmin = jnp.zeros((n,), f32)
 
     return L_direct + jnp.minimum(L_indirect, CLAMP)
+
+
+def _medium_scatter(cscene, ro, rd, seg_tmax, beta, active, xs, ys, sampler, sample_index, dim):
+    """Equiangular single-scatter NEE inside homogeneous media
+    (integrator.cpp:49-74 sample_medium + path.cpp:52-70 medium NEE).
+
+    Deviation: the reference discards the equiangular pdf when building the
+    MediumSample weight (interaction MediumSample drops its pdf argument); we
+    keep the correct 1/pdf factor.  Higher-order in-medium bounces (the
+    reference's recursive phase-sampled continuation) are not yet traced.
+    """
+    from pine_tpu.scene.csg_intersect import intervals_of
+
+    n = ro.shape[0]
+    f32 = jnp.float32
+    n_lights = len(cscene.lights)
+    n_media = len(cscene.media)
+    out = jnp.zeros((n, 3), f32)
+
+    u_t = sampler.u1(xs, ys, sample_index, dim + 10)
+    u_eq = sampler.u1(xs, ys, sample_index, dim + 11)
+    u_sel = sampler.u1(xs, ys, sample_index, dim + 12)
+    u_l2 = sampler.u2(xs, ys, sample_index, dim + 13)
+
+    t_tent = -jnp.log(jnp.maximum(1.0 - u_t, 1e-7))
+    p_tent = ro + t_tent[:, None] * rd
+
+    pick = jnp.clip((u_sel * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    u1_rem = u_sel * n_lights - pick.astype(f32)
+    ls_le = jnp.zeros((n, 3), f32)
+    ls_wo = jnp.zeros((n, 3), f32)
+    ls_dist = jnp.ones((n,), f32)
+    ls_pdf = jnp.ones((n,), f32)
+    ls_valid = jnp.zeros((n,), bool)
+    ls_delta = jnp.zeros((n,), bool)
+    ctx = dict(p=p_tent, n=rd, uv=jnp.zeros((n, 2), f32))
+    for li, light in enumerate(cscene.lights):
+        s = light.sample(p_tent, u_l2, u1_rem, ctx)
+        m = pick == li
+        ls_le = jnp.where(m[:, None], s["le"], ls_le)
+        ls_wo = jnp.where(m[:, None], s["wo"], ls_wo)
+        ls_dist = jnp.where(m, s["distance"], ls_dist)
+        ls_pdf = jnp.where(m, s["pdf"] * (1.0 / n_lights), ls_pdf)
+        ls_valid = jnp.where(m, s["valid"], ls_valid)
+        ls_delta = jnp.where(m, jnp.full((n,), light.is_delta, bool), ls_delta)
+
+    # equiangular sampling of the scatter point toward the light point
+    ps = p_tent + jnp.minimum(ls_dist, 1e7)[:, None] * ls_wo
+    a = jnp.sum((ps - ro) * rd, -1)
+    b = seg_tmax - a
+    D = jnp.linalg.norm(ps - (ro + a[:, None] * rd), axis=-1)
+    D = jnp.maximum(D, 1e-4)
+    theta_a = -jnp.arctan(a / D)
+    theta_b = jnp.arctan(b / D)
+    theta = theta_b + (theta_a - theta_b) * u_eq
+    dt = D * jnp.tan(theta)
+    ts = a + dt
+    pdf_eq = D / jnp.maximum(
+        jnp.abs(theta_b - theta_a) * (D * D + dt * dt), 1e-12
+    )
+    p_scat = ro + ts[:, None] * rd
+
+    for mi_idx, med in enumerate(cscene.media):
+        s_iv, e_iv = intervals_of(med.shape, ro, rd)
+        inside = jnp.any((ts[:, None] > s_iv) & (ts[:, None] < e_iv), axis=1)
+        tr_to_scat = cscene.transmittance(ro, rd, jnp.maximum(ts, 0.0))
+        W = (
+            jnp.asarray(med.sigma_s)
+            * tr_to_scat
+            / jnp.maximum(pdf_eq, 1e-12)[:, None]
+        )
+        # NEE from the scatter point
+        from pine_tpu.core.ray import offset_ray_origin
+
+        d2 = ps - p_scat
+        dist2 = jnp.linalg.norm(d2, axis=-1)
+        wo2 = d2 / jnp.maximum(dist2[:, None], 1e-20)
+        occluded = cscene.any_hit(
+            p_scat, wo2, jnp.full((n,), 1e-4, f32), dist2 * (1.0 - 1e-3)
+        )
+        tr_light = cscene.transmittance(p_scat, wo2, dist2)
+        cos_sc = jnp.sum(-rd * wo2, -1)
+        f_phase = med.pf.p(cos_sc)
+        contrib = (
+            beta
+            * W
+            * ls_le
+            * tr_light
+            * (f_phase / jnp.maximum(ls_pdf, 1e-20))[:, None]
+        )
+        ok = active & ls_valid & inside & (ts > 0.0) & (ts < seg_tmax) & ~occluded
+        out = out + jnp.where(ok[:, None], contrib / n_media, 0.0)
+    return out

@@ -39,15 +39,25 @@ EPS = 1e-6
 
 
 def _bc(params, ro, rd):
-    """Broadcast helpers: ro/rd (N,1,3), params columns (1,P)."""
+    """Broadcast helpers: ro/rd (N,1,3) against params columns.
+
+    Two table layouts are supported transparently:
+    - (P, k): shared table, all rays x all prims (brute force);
+    - (N, L, k): per-lane gathered rows (BVH leaf tests) — columns then
+      already carry the lane axis.
+    """
     return ro[:, None, :], rd[:, None, :]
 
 
 def _col3(params, i):
+    if params.ndim == 3:
+        return params[:, :, i : i + 3]
     return params[None, :, i : i + 3]
 
 
 def _col(params, i):
+    if params.ndim == 3:
+        return params[:, :, i]
     return params[None, :, i]
 
 

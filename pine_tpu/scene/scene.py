@@ -63,6 +63,12 @@ class Scene:
             self.lights.append(x)
             self._compiled = None
             return x
+        from pine_tpu.scene.media import HomogeneousMedium, VDBMedium
+
+        if isinstance(x, (HomogeneousMedium, VDBMedium)):
+            self.mediums.append(x)
+            self._compiled = None
+            return x
         raise TypeError(f"Scene.add: unsupported argument {x!r}")
 
     def set(self, x):
@@ -164,6 +170,9 @@ class CompiledScene:
         self.g_type_dev = jnp.asarray(self.g_type)
         self.g_local_dev = jnp.asarray(self.g_local)
         self.g_mat_dev = jnp.asarray(self.g_mat)
+
+        # participating media (homogeneous only for now; VDB later)
+        self.media = list(scene.mediums)
 
         # light list = scene lights + area lights + env light (lightsampler.cpp:6-10)
         self.lights = list(scene.lights) + area_lights
@@ -293,6 +302,23 @@ class CompiledScene:
                 p_t = I.PDF[tid](rows, ro, rd, t, ns)
             pdf = jnp.where(gidx == g, p_t, pdf)
         return pdf / n_lights
+
+    def transmittance(self, ro, rd, tmax):
+        """Chromatic transmittance along [0,tmax] through all homogeneous
+        media (integrator.cpp:75-81; medium.cpp analytic inside/outside)."""
+        n = ro.shape[0]
+        tr = jnp.ones((n, 3), jnp.float32)
+        if not self.media:
+            return tr
+        from pine_tpu.scene.csg_intersect import intervals_of
+
+        for med in self.media:
+            s, e = intervals_of(med.shape, ro, rd)
+            lo = jnp.clip(s, 0.0, tmax[:, None])
+            hi = jnp.clip(e, 0.0, tmax[:, None])
+            overlap = jnp.sum(jnp.maximum(hi - lo, 0.0), axis=1)
+            tr = tr * jnp.exp(-jnp.asarray(med.sigma_t) * overlap[:, None])
+        return tr
 
     def is_emissive_lane(self, gidx):
         if not self.emissive_globals:
