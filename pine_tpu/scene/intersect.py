@@ -323,27 +323,46 @@ def pdf_aabb(rows, ro, rd, t, ns):
 
 # ------------------------------------------------------------------- obb ----
 
+def _mat_vec(mat, vec):
+    """Batched 3x3 apply with full broadcasting: mat (...,3,3), vec (...,3)."""
+    shape = jnp.broadcast_shapes(mat.shape[:-2], vec.shape[:-1])
+    matb = jnp.broadcast_to(mat, shape + (3, 3))
+    vecb = jnp.broadcast_to(vec, shape + (3,))
+    return jnp.einsum("...ij,...j->...i", matb, vecb)
+
+
+def _obb_mats(params):
+    if params.ndim == 3:
+        sh = params.shape[:-1]
+        return params[..., 6:18].reshape(sh + (3, 4)), params[..., 18:30].reshape(sh + (3, 4))
+    sh = (1,) + params.shape[:-1]
+    return (
+        params[None, :, 6:18].reshape(sh + (3, 4)),
+        params[None, :, 18:30].reshape(sh + (3, 4)),
+    )
+
+
 def intersect_obb(params, ro, rd, tmin, tmax):
     """OBB: transform to local, slab, map t back as world distances
     (bbox.cpp OBB::intersect)."""
     o, d = _bc(params, ro, rd)  # (N,1,3)
     lower, upper = _col3(params, 0), _col3(params, 3)
-    m = params[:, 6:18].reshape(1, -1, 3, 4)  # (1,P,3,4)
-    mi = params[:, 18:30].reshape(1, -1, 3, 4)
-    # (N,P,3) = (1,P,3,3) @ (N,1,3)
-    o_l = jnp.einsum("zpij,nzj->npi", mi[..., :3], o) + mi[..., 3]
-    d_l = jnp.einsum("zpij,nzj->npi", mi[..., :3], d)
+    m, mi = _obb_mats(params)
+    o_l = _mat_vec(mi[..., :3], o) + mi[..., 3]
+    d_l = _mat_vec(mi[..., :3], d)
     d_norm = jnp.sqrt(jnp.sum(d_l * d_l, -1, keepdims=True))
     d_l = d_l / jnp.maximum(d_norm, 1e-20)
-    near, far, ok = _slab(lower, upper, o_l, d_l, tmin, tmax)
+    # slab in LOCAL units: only clamp the near end at the origin — world-space
+    # tmin/tmax are meaningless here and are applied after conversion
+    near, far, ok = _slab(lower, upper, o_l, d_l, 0.0, BIG)
 
     # local->world t: transform hit points back and measure distance
     def world_t(t_l):
         p_l = o_l + t_l[..., None] * d_l
-        p_w = jnp.einsum("zpij,npj->npi", m[..., :3], p_l) + m[..., 3]
+        p_w = _mat_vec(m[..., :3], p_l) + m[..., 3]
         return jnp.sqrt(jnp.sum((p_w - o) ** 2, -1))
 
-    t = jnp.where(near > tmin, world_t(near), world_t(far))
+    t = jnp.where(near > 0.0, world_t(near), world_t(far))
     return jnp.where(ok & (t > tmin) & (t <= tmax), t, BIG)
 
 
@@ -420,8 +439,13 @@ def pdf_triangle(rows, ro, rd, t, ns):
 # ------------------------------------------------------------------ cone ----
 
 def intersect_cone(params, ro, rd, tmin, tmax):
+    """Finite cone (geometry.cpp:415-453).  The reference's quadratic only
+    rejects the upper nappe (above the apex) and relies on Embree's AABB
+    culling to bound the lower one; we clamp to the base plane explicitly so
+    brute-force and BVH paths agree."""
     o_w, d = _bc(params, ro, rd)
     apex, n, A2 = _col3(params, 0), _col3(params, 3), _col(params, 6)
+    h = _col(params, 10)
     o = o_w - apex
     dn = jnp.sum(d * n, -1)
     on = jnp.sum(o * n, -1)
@@ -433,8 +457,9 @@ def intersect_cone(params, ro, rd, tmin, tmax):
     a_safe = jnp.where(a == 0.0, EPS, a)
     t0 = (-b - sq) / (2 * a_safe)
     t = jnp.where(t0 < tmin, t0 + sq / a_safe, t0)
-    below = jnp.sum((o + t[..., None] * d) * n, -1) < 0.0
-    return _valid_t(t, (disc > 0.0) & below, tmin, tmax)
+    height = jnp.sum((o + t[..., None] * d) * n, -1)  # relative to apex
+    ok = (disc > 0.0) & (height < 0.0) & (height >= -h)
+    return _valid_t(t, ok, tmin, tmax)
 
 
 def surface_info_cone(rows, p):

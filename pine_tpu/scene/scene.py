@@ -120,6 +120,8 @@ class CompiledScene:
         self.meshes = []  # (Mesh, global_idx)
         area_lights = []
 
+        analytic_entities = []
+
         def add_flat(shape, mslot):
             gidx = len(g_type)
             if isinstance(shape, S.SDFShape):
@@ -137,6 +139,7 @@ class CompiledScene:
                 g_type.append(tid)
                 g_local.append(len(rows))
                 rows.append(shape.params())
+                analytic_entities.append((tid, shape.params(), gidx, shape.get_aabb()))
             g_mat.append(mslot)
             return gidx
 
@@ -182,15 +185,15 @@ class CompiledScene:
         # which global shapes are emissive (for hit-side Le and MIS pdf)
         self.emissive_globals = {al.global_idx: al for al in area_lights}
 
-        # meshes -> ONE combined BVH over all triangles, hits resolved back to
-        # owning geometry via per-triangle gidx (two-level flattened at build)
-        self.mesh_accel = None
-        if self.meshes:
-            from pine_tpu.accel.bvh import build_scene_bvh
+        # Unified BVH over every primitive (analytic + triangles) once the
+        # scene is big enough; tiny scenes keep dense brute force, which the
+        # VPU wins outright (SURVEY.md §7 hard parts: "cbox has ~20 shapes").
+        n_tris = sum(m.num_triangles() for m, _ in self.meshes)
+        self.unified = None
+        if self.meshes or len(analytic_entities) + n_tris > 24:
+            from pine_tpu.accel.unified import build_unified_accel
 
-            self.mesh_accel = build_scene_bvh(
-                [(mesh, gidx, int(self.g_mat[gidx])) for mesh, gidx in self.meshes]
-            )
+            self.unified = build_unified_accel(analytic_entities, self.meshes)
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):
@@ -201,14 +204,29 @@ class CompiledScene:
         mesh_tri = jnp.zeros((n,), jnp.int32)
         tmin_b = tmin[:, None] if jnp.ndim(tmin) == 1 else tmin
         tmax_b = tmax[:, None] if jnp.ndim(tmax) == 1 else tmax
-        for tid, params in self.tables.items():
-            tmat = I.INTERSECT[tid](params, ro, rd, tmin_b, tmax_b)
-            t_min = jnp.min(tmat, axis=1)
-            idx = jnp.argmin(tmat, axis=1).astype(jnp.int32)
-            g = self.type_global[tid][idx]
-            better = t_min < best_t
-            best_t = jnp.where(better, t_min, best_t)
-            best_g = jnp.where(better, g, best_g)
+        if self.unified is not None:
+            from pine_tpu.accel.traverse import unified_intersect
+
+            t, ent = unified_intersect(
+                self.unified,
+                ro,
+                rd,
+                jnp.broadcast_to(jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, (n,)),
+                jnp.broadcast_to(jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)),
+            )
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_g = jnp.where(better, self.unified["ent_gidx"][ent], best_g)
+            mesh_tri = jnp.where(better, ent, mesh_tri)
+        else:
+            for tid, params in self.tables.items():
+                tmat = I.INTERSECT[tid](params, ro, rd, tmin_b, tmax_b)
+                t_min = jnp.min(tmat, axis=1)
+                idx = jnp.argmin(tmat, axis=1).astype(jnp.int32)
+                g = self.type_global[tid][idx]
+                better = t_min < best_t
+                best_t = jnp.where(better, t_min, best_t)
+                best_g = jnp.where(better, g, best_g)
         for (sdf, gidx) in self.sdf_shapes:
             t = _sdf_march(sdf, ro, rd, jnp.ravel(tmin), jnp.minimum(jnp.ravel(tmax), best_t))
             better = t < best_t
@@ -223,24 +241,6 @@ class CompiledScene:
             better = hit_c & (t < best_t)
             best_t = jnp.where(better, t, best_t)
             best_g = jnp.where(better, gidx, best_g)
-        if self.mesh_accel is not None:
-            from pine_tpu.accel.traverse import bvh_intersect
-
-            t, tri = bvh_intersect(
-                self.mesh_accel,
-                ro,
-                rd,
-                jnp.broadcast_to(tmin, (n,)),
-                jnp.minimum(jnp.broadcast_to(tmax, (n,)), best_t),
-            )
-            better = t < best_t
-            best_t = jnp.where(better, t, best_t)
-            if "tri_gidx" in self.mesh_accel:
-                g_of_tri = self.mesh_accel["tri_gidx"][tri]
-            else:
-                g_of_tri = jnp.full((n,), self.meshes[0][1], jnp.int32)
-            best_g = jnp.where(better, g_of_tri, best_g)
-            mesh_tri = jnp.where(better, tri, mesh_tri)
         hit = best_t < BIG
         return best_t, best_g, hit, mesh_tri
 
@@ -273,10 +273,10 @@ class CompiledScene:
             nn = csg_normal(csg, p)
             m = (gidx == g)[:, None]
             out_n = jnp.where(m, nn, out_n)
-        if self.mesh_accel is not None and mesh_tri is not None:
-            from pine_tpu.accel.traverse import mesh_surface_info
+        if self.unified is not None and self.meshes and mesh_tri is not None:
+            from pine_tpu.accel.unified import unified_surface_info_triangle
 
-            pc, nn, uv = mesh_surface_info(self.mesh_accel, mesh_tri, p)
+            pc, nn, uv = unified_surface_info_triangle(self.unified, mesh_tri, p)
             m = (tid_lane == S.MESH_TYPE)[:, None]
             out_p = jnp.where(m, pc, out_p)
             out_n = jnp.where(m, nn, out_n)
