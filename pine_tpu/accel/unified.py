@@ -24,6 +24,34 @@ from pine_tpu.scene import shapes as S
 ENT_PARAM_WIDTH = 32
 
 
+def sah_arrays(lo, hi, centroid):
+    """SAH build -> flat node arrays; native C++ builder when available
+    (pine_tpu/native), numpy fallback otherwise."""
+    from pine_tpu.accel.native_build import build_sah_native
+
+    r = build_sah_native(lo, hi)
+    if r is not None:
+        return r
+    order, nodes = _build_sah(lo, hi, centroid)
+    order = np.asarray(order, np.int64)
+    m = len(nodes)
+    c_lower = np.zeros((m, 2, 3), np.float32)
+    c_upper = np.zeros((m, 2, 3), np.float32)
+    c_node = np.full((m, 2), -1, np.int32)
+    c_start = np.zeros((m, 2), np.int32)
+    c_count = np.zeros((m, 2), np.int32)
+    for i, nd in enumerate(nodes):
+        for k in (0, 1):
+            c_lower[i, k] = nd["lower"][k]
+            c_upper[i, k] = nd["upper"][k]
+            if nd["is_leaf"][k]:
+                c_start[i, k] = nd["start"][k]
+                c_count[i, k] = nd["count"][k]
+            else:
+                c_node[i, k] = nd["child"][k]
+    return order, c_lower, c_upper, c_node, c_start, c_count
+
+
 def build_unified_accel(analytic_prims, meshes):
     """analytic_prims: list of (type_id, params np(k,), gidx, aabb(lo,hi)).
     meshes: list of (Mesh, gidx).  -> accel dict or None if empty."""
@@ -73,24 +101,8 @@ def build_unified_accel(analytic_prims, meshes):
     hi = np.asarray(his, np.float32)
     centroid = (lo + hi) * 0.5
 
-    order, nodes = _build_sah(lo, hi, centroid)
-    order = np.asarray(order, np.int64)
-
-    m = len(nodes)
-    c_lower = np.zeros((m, 2, 3), np.float32)
-    c_upper = np.zeros((m, 2, 3), np.float32)
-    c_node = np.full((m, 2), -1, np.int32)
-    c_start = np.zeros((m, 2), np.int32)
-    c_count = np.zeros((m, 2), np.int32)
-    for i, nd in enumerate(nodes):
-        for k in (0, 1):
-            c_lower[i, k] = nd["lower"][k]
-            c_upper[i, k] = nd["upper"][k]
-            if nd["is_leaf"][k]:
-                c_start[i, k] = nd["start"][k]
-                c_count[i, k] = nd["count"][k]
-            else:
-                c_node[i, k] = nd["child"][k]
+    order, c_lower, c_upper, c_node, c_start, c_count = sah_arrays(lo, hi, centroid)
+    m = len(c_lower)
 
     pad = LEAF_MAX
     ent_type = np.concatenate([types[order], np.full(pad, -1, np.int32)])
