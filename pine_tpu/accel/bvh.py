@@ -126,9 +126,10 @@ def build_mesh_bvh(mesh, tri_gidx=None):
         )
     if mesh.normals is not None:
         vn = mesh.normals
-        accel["n0"] = pack(vn[fo[:, 0]])
-        accel["n1"] = pack(vn[fo[:, 1]])
-        accel["n2"] = pack(vn[fo[:, 2]])
+        # pack() itself applies [order]; feed unordered per-face attributes
+        accel["n0"] = pack(vn[f[:, 0]])
+        accel["n1"] = pack(vn[f[:, 1]])
+        accel["n2"] = pack(vn[f[:, 2]])
     if mesh.texcoords is not None:
         vt = mesh.texcoords
 

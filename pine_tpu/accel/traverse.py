@@ -66,35 +66,6 @@ def _leaf_test(accel, start, count, ro, rd, tmin, best_t):
     return jnp.min(t, axis=1), idx[jnp.arange(idx.shape[0]), k]
 
 
-def _typed_leaf_test(accel, start, count, ro, rd, tmin, best_t):
-    """Unified-accel leaf test: gather LEAF_MAX entity rows per lane, run the
-    (static) set of present type kernels masked-dense -> (t, entity)."""
-    from pine_tpu.scene import intersect as I
-    from pine_tpu.scene import shapes as S
-
-    offs = jnp.arange(LEAF_MAX, dtype=jnp.int32)
-    idx = start[:, None] + offs[None, :]
-    valid = offs[None, :] < count[:, None]
-    rows = accel["ent_param"][idx]  # (N, L, 32)
-    types = accel["ent_type"][idx]  # (N, L)
-    t = jnp.full(idx.shape, BIG, jnp.float32)
-    tmin_b = tmin[:, None]
-    tmax_b = best_t[:, None]
-    for tid in accel["present_types"]:
-        width = S.PARAM_WIDTH.get(tid, 12)
-        tt = I.INTERSECT[tid](rows[..., :width], ro, rd, tmin_b, tmax_b)
-        t = jnp.where(types == tid, tt, t)
-    t = jnp.where(valid, t, BIG)
-    k = jnp.argmin(t, axis=1)
-    lane = jnp.arange(idx.shape[0])
-    return t[lane, k], idx[lane, k]
-
-
-def unified_intersect(accel, ro, rd, tmin, tmax):
-    """Closest hit over the unified entity BVH -> (t, entity)."""
-    return _traverse(accel, ro, rd, tmin, tmax, _typed_leaf_test)
-
-
 def bvh_intersect(accel, ro, rd, tmin, tmax):
     """Closest-hit over a triangle-only accel -> (t, tri)."""
     return _traverse(accel, ro, rd, tmin, tmax, _leaf_test_wrap)

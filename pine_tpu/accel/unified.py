@@ -151,6 +151,7 @@ def build_unified_accel(analytic_prims, meshes):
                     t_attr[k : k + cnt, 2:4] = vt[f[:, 1]]
                     t_attr[k : k + cnt, 4:6] = vt[f[:, 2]]
                     has_t[k : k + cnt] = True
+                k += cnt
             accel["tri_n"] = jnp.asarray(
                 np.concatenate([n_attr[order], np.zeros((pad, 9), np.float32)])
             )

@@ -272,7 +272,8 @@ def _sdf_of(shape, q):
         o = q - p0
         h = jnp.sum(o * nv, -1)
         radial = jnp.linalg.norm(o - h[..., None] * nv, axis=-1) - shape.r
-        axd = jnp.maximum(-h, h - shape.len)
+        ln = float(np.linalg.norm(shape.p1 - shape.p0))
+        axd = jnp.maximum(-h, h - ln)
         return jnp.maximum(radial, axd)
     raise TypeError(type(shape))
 

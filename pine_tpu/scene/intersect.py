@@ -39,26 +39,23 @@ EPS = 1e-6
 
 
 def _bc(params, ro, rd):
-    """Broadcast helpers: ro/rd (N,1,3) against params columns.
+    """Broadcast convention: rays get a trailing prim axis, param columns get
+    a ray axis inserted before the prim axis.  Supported layouts:
 
-    Two table layouts are supported transparently:
-    - (P, k): shared table, all rays x all prims (brute force);
-    - (N, L, k): per-lane gathered rows (BVH leaf tests) — columns then
-      already carry the lane axis.
+    - params (M,k),  rays (N,3)    -> out (N,M)    (brute force)
+    - params (P,L,k), rays (P,K,3) -> out (P,K,L)  (packet leaf tests)
+
+    i.e. params batch dims (if any) must align with the rays' leading dims.
     """
-    return ro[:, None, :], rd[:, None, :]
+    return ro[..., :, None, :], rd[..., :, None, :]
 
 
 def _col3(params, i):
-    if params.ndim == 3:
-        return params[:, :, i : i + 3]
-    return params[None, :, i : i + 3]
+    return params[..., None, :, i : i + 3]
 
 
 def _col(params, i):
-    if params.ndim == 3:
-        return params[:, :, i]
-    return params[None, :, i]
+    return params[..., None, :, i]
 
 
 def _valid_t(t, valid, tmin, tmax):
@@ -332,14 +329,9 @@ def _mat_vec(mat, vec):
 
 
 def _obb_mats(params):
-    if params.ndim == 3:
-        sh = params.shape[:-1]
-        return params[..., 6:18].reshape(sh + (3, 4)), params[..., 18:30].reshape(sh + (3, 4))
-    sh = (1,) + params.shape[:-1]
-    return (
-        params[None, :, 6:18].reshape(sh + (3, 4)),
-        params[None, :, 18:30].reshape(sh + (3, 4)),
-    )
+    m = params[..., None, :, 6:18]
+    mi = params[..., None, :, 18:30]
+    return m.reshape(m.shape[:-1] + (3, 4)), mi.reshape(mi.shape[:-1] + (3, 4))
 
 
 def intersect_obb(params, ro, rd, tmin, tmax):
@@ -542,19 +534,13 @@ def intersect_line(params, ro, rd, tmin, tmax):
     x = safe_normalize(jnp.cross(up, z_adj))
     y = jnp.cross(z_adj, x)
 
-    def to_frame(pt):
-        rel = pt - o_w
-        return jnp.stack(
-            [jnp.sum(rel * x[:, None] if rel.ndim == 3 else rel * x, -1) for _ in range(0)], -1
-        )
-
     rel0 = p0 - o_w
     rel1 = p1 - o_w
     f = lambda rel: jnp.stack(
         [
-            jnp.sum(rel * x[:, None, :], -1),
-            jnp.sum(rel * y[:, None, :], -1),
-            jnp.sum(rel * z[:, None, :], -1),
+            jnp.sum(rel * x[..., :, None, :], -1),
+            jnp.sum(rel * y[..., :, None, :], -1),
+            jnp.sum(rel * z[..., :, None, :], -1),
         ],
         -1,
     )

@@ -185,15 +185,15 @@ class CompiledScene:
         # which global shapes are emissive (for hit-side Le and MIS pdf)
         self.emissive_globals = {al.global_idx: al for al in area_lights}
 
-        # Unified BVH over every primitive (analytic + triangles) once the
+        # Packet BVH over every primitive (analytic + triangles) once the
         # scene is big enough; tiny scenes keep dense brute force, which the
         # VPU wins outright (SURVEY.md §7 hard parts: "cbox has ~20 shapes").
         n_tris = sum(m.num_triangles() for m, _ in self.meshes)
         self.unified = None
         if self.meshes or len(analytic_entities) + n_tris > 24:
-            from pine_tpu.accel.unified import build_unified_accel
+            from pine_tpu.accel.packet import build_packet_accel
 
-            self.unified = build_unified_accel(analytic_entities, self.meshes)
+            self.unified = build_packet_accel(analytic_entities, self.meshes)
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):
@@ -205,9 +205,9 @@ class CompiledScene:
         tmin_b = tmin[:, None] if jnp.ndim(tmin) == 1 else tmin
         tmax_b = tmax[:, None] if jnp.ndim(tmax) == 1 else tmax
         if self.unified is not None:
-            from pine_tpu.accel.traverse import unified_intersect
+            from pine_tpu.accel.packet import packet_intersect
 
-            t, ent = unified_intersect(
+            t, ent = packet_intersect(
                 self.unified,
                 ro,
                 rd,
@@ -245,9 +245,32 @@ class CompiledScene:
         return best_t, best_g, hit, mesh_tri
 
     def any_hit(self, ro, rd, tmin, tmax):
-        """Shadow-ray occlusion query."""
-        t, g, hit, _ = self.intersect(ro, rd, tmin, tmax)
-        return hit
+        """Shadow-ray occlusion query; early-exit packet walk over the accel
+        (the reference's hit() vs intersect() split, accel.h:13-16)."""
+        n = ro.shape[0]
+        tmin_f = jnp.broadcast_to(jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, (n,))
+        tmax_f = jnp.broadcast_to(jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,))
+        if self.unified is None and not self.sdf_shapes and not self.csg_shapes:
+            t, g, hit, _ = self.intersect(ro, rd, tmin, tmax)
+            return hit
+        occ = jnp.zeros((n,), bool)
+        if self.unified is not None:
+            from pine_tpu.accel.packet import packet_any_hit
+
+            occ = packet_any_hit(self.unified, ro, rd, tmin_f, tmax_f)
+        else:
+            for tid, params in self.tables.items():
+                tmat = I.INTERSECT[tid](params, ro, rd, tmin_f[:, None], tmax_f[:, None])
+                occ = occ | jnp.any(tmat < BIG, axis=1)
+        for (sdf, gidx) in self.sdf_shapes:
+            t = _sdf_march(sdf, ro, rd, tmin_f, tmax_f)
+            occ = occ | (t < BIG)
+        for (csg, gidx) in self.csg_shapes:
+            from pine_tpu.scene.csg_intersect import csg_intersect
+
+            t, hit_c = csg_intersect(csg, ro, rd, tmin_f, tmax_f)
+            occ = occ | hit_c
+        return occ
 
     def surface_info(self, gidx, p, mesh_tri=None):
         """Per-lane (p_corrected, n, uv) by masked per-type dispatch."""

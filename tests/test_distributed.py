@@ -13,6 +13,12 @@ from pine_tpu.parallel.distributed import (
 )
 
 
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="xla_force_host_platform_device_count=8 did not take effect",
+)
+
+
 @pytest.fixture(scope="module")
 def cbox():
     scene = ge._build_cbox(32)
@@ -26,9 +32,11 @@ def test_entry_compiles(cbox):
     assert np.isfinite(np.asarray(img)).all()
 
 
+@needs_8
 def test_sample_sharded_matches_single_device(cbox):
     scene, cscene = cbox
     mesh = make_device_mesh(8)
+    assert mesh.devices.size == 8
     sampler = UniformSampler(8)
     img_sharded = render_sample_sharded(
         cscene, scene.camera, 32, 32, sampler, 8, 3, mesh
@@ -38,9 +46,11 @@ def test_sample_sharded_matches_single_device(cbox):
     assert np.allclose(np.asarray(img_sharded), np.asarray(img_single), atol=2e-4)
 
 
+@needs_8
 def test_tile_sharded_matches_single_device(cbox):
     scene, cscene = cbox
     mesh = make_device_mesh(8)
+    assert mesh.devices.size == 8
     sampler = UniformSampler(4)
     img_sharded = render_tile_sharded(
         cscene, scene.camera, 32, 32, sampler, 4, 3, mesh
@@ -49,5 +59,6 @@ def test_tile_sharded_matches_single_device(cbox):
     assert np.allclose(np.asarray(img_sharded), np.asarray(img_single), atol=2e-4)
 
 
+@needs_8
 def test_dryrun_multichip():
     ge.dryrun_multichip(8)
