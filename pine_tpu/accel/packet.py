@@ -117,6 +117,8 @@ def build_packet_accel(analytic_prims, meshes):
     def _add_group(tid, params, gidxs, lo, hi, n_attr=None, t_attr=None,
                    has_n=None, has_t=None):
         params = np.asarray(params, np.float32)
+        lo = np.asarray(lo, np.float32)
+        hi = np.asarray(hi, np.float32)
         n = len(params)
         if n <= DENSE_MAX:
             order = np.arange(n)
@@ -124,12 +126,16 @@ def build_packet_accel(analytic_prims, meshes):
                 tid, params, gidxs, order, n_attr, t_attr, has_n, has_t
             )
             groups.append(
-                dict(tid=tid, kind="dense", base=gbase, rows=jnp.asarray(rows))
+                dict(
+                    tid=tid, kind="dense", base=gbase, rows=jnp.asarray(rows),
+                    rows_np=rows.copy(),
+                    _prim_aabbs=np.concatenate([lo, hi], axis=1),
+                )
             )
             return
         centroid = (lo + hi) * 0.5
         order, c_lower, c_upper, c_node, c_start, c_count = sah_arrays(
-            np.asarray(lo, np.float32), np.asarray(hi, np.float32), centroid
+            lo, hi, centroid
         )
         gbase, rows = _append_entities(
             tid, params, gidxs, order, n_attr, t_attr, has_n, has_t
@@ -143,11 +149,18 @@ def build_packet_accel(analytic_prims, meshes):
                 kind="bvh",
                 base=gbase,
                 rows=jnp.asarray(rows_pad),
+                rows_np=rows_pad.copy(),
+                _prim_aabbs=np.concatenate([lo, hi], axis=1)[order],
                 c_lower=jnp.asarray(c_lower),
                 c_upper=jnp.asarray(c_upper),
                 c_node=jnp.asarray(c_node),
                 c_start=jnp.asarray(c_start),
                 c_count=jnp.asarray(c_count),
+                nodes_np=dict(
+                    c_lower=np.asarray(c_lower), c_upper=np.asarray(c_upper),
+                    c_node=np.asarray(c_node), c_start=np.asarray(c_start),
+                    c_count=np.asarray(c_count),
+                ),
             )
         )
 
@@ -174,6 +187,18 @@ def build_packet_accel(analytic_prims, meshes):
 
     if base == 0:
         return None
+
+    # Pre-build the Pallas-side table layouts OUTSIDE any jit trace so the
+    # capture walker can pass them as jit arguments (capture.py: captured
+    # device constants poison the TPU dispatch path).
+    from pine_tpu.accel import pallas_traverse as PT
+
+    for g in groups:
+        if g["tid"] in PT.PRIM_TESTS:
+            if PT._grid_eligible(g):
+                PT._grid_layout(g)
+            else:
+                PT._group_smem_arrays(g)
 
     pad = LEAF_MAX
     accel = dict(
@@ -330,9 +355,41 @@ def _packet_traverse_group(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
     return best_t, best_e
 
 
+def _use_pallas():
+    """Pallas kernels only on real TPU backends (tests run on CPU where the
+    XLA packet walk is the reference implementation)."""
+    import os
+
+    flag = os.environ.get("PINE_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def packet_intersect(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
     """Closest hit over all groups -> (t, ent) flat (N,); t=BIG on miss."""
     import jax.numpy as jnp
+
+    if _use_pallas():
+        from pine_tpu.accel import pallas_traverse as PT
+
+        if all(PT.group_supports_pallas(g) for g in accel["groups"]):
+            best_t = jnp.asarray(tmax, jnp.float32)
+            best_e = jnp.full(ro.shape[:1], -1, jnp.int32)
+            limit = best_t
+            for g in accel["groups"]:
+                t_new, e_loc = PT.pallas_group_query(
+                    g, ro, rd, tmin, best_t, best_t, best_e, any_hit=False
+                )
+                changed = t_new < best_t
+                best_e = jnp.where(changed, g["base"] + e_loc, best_e)
+                best_t = t_new
+            t_out = jnp.where(best_t < limit, best_t, BIG)
+            return t_out, jnp.maximum(best_e, 0)
 
     ro, rd, tmin, tmax, n = _pad_rays(ro, rd, tmin, tmax, K)
     P = ro.shape[0] // K
@@ -438,6 +495,18 @@ def packet_any_hit(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
     """Occlusion query -> (N,) bool; early-exits per packet (VERDICT r1:
     shadow rays must not pay the closest-hit price)."""
     import jax.numpy as jnp
+
+    if _use_pallas():
+        from pine_tpu.accel import pallas_traverse as PT
+
+        if all(PT.group_supports_pallas(g) for g in accel["groups"]):
+            occ = jnp.zeros(ro.shape[:1], jnp.int32)
+            tmax_f = jnp.asarray(tmax, jnp.float32)
+            for g in accel["groups"]:
+                _, occ = PT.pallas_group_query(
+                    g, ro, rd, tmin, tmax_f, tmax_f, occ, any_hit=True
+                )
+            return occ != 0
 
     ro, rd, tmin, tmax, n = _pad_rays(ro, rd, tmin, tmax, K)
     P = ro.shape[0] // K

@@ -1,0 +1,740 @@
+"""Pallas TPU packet-traversal kernels (SURVEY.md §7 hard part 1).
+
+One grid program = one packet of 1024 rays held as (8,128) f32 vregs.  BVH
+nodes and primitive parameters are scalar-prefetched into SMEM, so the walk
+is: scalar stack pop -> scalar AABB fetch -> vector slab test against all
+1024 rays -> masked unrolled leaf tests (prim scalars broadcast from SMEM,
+zero per-ray gathers) -> near-first scalar push.  This is the TPU shape of
+the reference's per-ray stack walk (impl/accel/bvh.cpp:320-451) with the
+packet generalization of hit8 (embree.cpp:54-65).
+
+Per-type kernels keep every leaf loop monomorphic (no variant dispatch in
+the hot path).  Groups whose shape type has no scalar test here, or whose
+tables exceed the SMEM budget, fall back to accel/packet.py's XLA walk.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+BIG = 1e30
+STACK_DEPTH = 48
+LEAF_MAX = 4  # matches the SAH builders
+K_SUB, K_LANE = 8, 128  # rays per packet = 8*128
+KP = K_SUB * K_LANE
+SMEM_BUDGET = 512 * 1024  # bytes for nodes+prims of one group
+
+# shape type ids (shapes.py) with a scalarized test below
+from pine_tpu.scene import shapes as S
+
+
+def _safe_inv(d):
+    import jax.numpy as jnp
+
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d < 0, -1e-9, 1e-9), d)
+
+
+# --------------------------------------------------------------------------
+# scalarized primitive tests: fetch(c) -> scalar param; rays as component
+# vectors (8,128).  Return t with BIG where miss (tmin/tmax already applied).
+# --------------------------------------------------------------------------
+
+def _finish(t, ok, tmin, tmax):
+    import jax.numpy as jnp
+
+    return jnp.where(ok & (t > tmin) & (t < tmax), t, BIG)
+
+
+def _test_rect(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    px, py, pz = fetch(0), fetch(1), fetch(2)
+    exx, exy, exz = fetch(3), fetch(4), fetch(5)
+    eyx, eyy, eyz = fetch(6), fetch(7), fetch(8)
+    nx, ny, nz = fetch(9), fetch(10), fetch(11)
+    lx, ly = fetch(12), fetch(13)
+    denom = d[0] * nx + d[1] * ny + d[2] * nz
+    denom = jnp.where(denom == 0.0, 1e-12, denom)
+    t = ((px - o[0]) * nx + (py - o[1]) * ny + (pz - o[2]) * nz) / denom
+    hx = o[0] + t * d[0] - px
+    hy = o[1] + t * d[1] - py
+    hz = o[2] + t * d[2] - pz
+    u = (hx * exx + hy * exy + hz * exz) / lx
+    v = (hx * eyx + hy * eyy + hz * eyz) / ly
+    ok = (jnp.abs(u) <= 0.5) & (jnp.abs(v) <= 0.5)
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_sphere(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    cx, cy, cz, r = fetch(0), fetch(1), fetch(2), fetch(3)
+    rx, ry, rz = o[0] - cx, o[1] - cy, o[2] - cz
+    b = rx * d[0] + ry * d[1] + rz * d[2]
+    cc = rx * rx + ry * ry + rz * rz - r * r
+    disc = b * b - cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t = jnp.where(t0 < tmin, -b + sq, t0)
+    return _finish(t, disc > 0.0, tmin, tmax)
+
+
+def _test_triangle(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    v0x, v0y, v0z = fetch(0), fetch(1), fetch(2)
+    e1x, e1y, e1z = fetch(3) - v0x, fetch(4) - v0y, fetch(5) - v0z
+    e2x, e2y, e2z = fetch(6) - v0x, fetch(7) - v0y, fetch(8) - v0z
+    tx, ty, tz = o[0] - v0x, o[1] - v0y, o[2] - v0z
+    px = d[1] * e2z - d[2] * e2y
+    py = d[2] * e2x - d[0] * e2z
+    pz = d[0] * e2y - d[1] * e2x
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    det = px * e1x + py * e1y + pz * e1z
+    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = (qx * e2x + qy * e2y + qz * e2z) * inv
+    u = (px * tx + py * ty + pz * tz) * inv
+    v = (qx * d[0] + qy * d[1] + qz * d[2]) * inv
+    ok = (det != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_cone(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    ax, ay, az = fetch(0), fetch(1), fetch(2)
+    nx, ny, nz = fetch(3), fetch(4), fetch(5)
+    A2, h = fetch(6), fetch(10)
+    ox, oy, oz = o[0] - ax, o[1] - ay, o[2] - az
+    dn = d[0] * nx + d[1] * ny + d[2] * nz
+    on = ox * nx + oy * ny + oz * nz
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    od = ox * d[0] + oy * d[1] + oz * d[2]
+    oo = ox * ox + oy * oy + oz * oz
+    a = -A2 * dn * dn + dd
+    b = 2.0 * (-A2 * on * dn + od)
+    c = -A2 * on * on + oo
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a == 0.0, 1e-6, a)
+    t0 = (-b - sq) / (2.0 * a_safe)
+    t = jnp.where(t0 < tmin, t0 + sq / a_safe, t0)
+    height = on + t * dn
+    ok = (disc > 0.0) & (height < 0.0) & (height >= -h)
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_aabb(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    inv0 = _safe_inv(d[0])
+    inv1 = _safe_inv(d[1])
+    inv2 = _safe_inv(d[2])
+    lx, ly, lz = fetch(0), fetch(1), fetch(2)
+    ux, uy, uz = fetch(3), fetch(4), fetch(5)
+    t0x, t1x = (lx - o[0]) * inv0, (ux - o[0]) * inv0
+    t0y, t1y = (ly - o[1]) * inv1, (uy - o[1]) * inv1
+    t0z, t1z = (lz - o[2]) * inv2, (uz - o[2]) * inv2
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), tmax),
+    )
+    ok = near <= far
+    t = jnp.where(near > tmin, near, far)
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_obb(fetch, o, d, tmin, tmax):
+    """bbox.cpp OBB::intersect — local slab then world-space t via hit point."""
+    import jax.numpy as jnp
+
+    lx, ly, lz = fetch(0), fetch(1), fetch(2)
+    ux, uy, uz = fetch(3), fetch(4), fetch(5)
+    m = [fetch(6 + i) for i in range(12)]  # world<-local (3x4)
+    mi = [fetch(18 + i) for i in range(12)]  # local<-world (3x4)
+    olx = mi[0] * o[0] + mi[1] * o[1] + mi[2] * o[2] + mi[3]
+    oly = mi[4] * o[0] + mi[5] * o[1] + mi[6] * o[2] + mi[7]
+    olz = mi[8] * o[0] + mi[9] * o[1] + mi[10] * o[2] + mi[11]
+    dlx = mi[0] * d[0] + mi[1] * d[1] + mi[2] * d[2]
+    dly = mi[4] * d[0] + mi[5] * d[1] + mi[6] * d[2]
+    dlz = mi[8] * d[0] + mi[9] * d[1] + mi[10] * d[2]
+    dn = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
+    dn = jnp.maximum(dn, 1e-20)
+    dlx, dly, dlz = dlx / dn, dly / dn, dlz / dn
+    inv0, inv1, inv2 = _safe_inv(dlx), _safe_inv(dly), _safe_inv(dlz)
+    t0x, t1x = (lx - olx) * inv0, (ux - olx) * inv0
+    t0y, t1y = (ly - oly) * inv1, (uy - oly) * inv1
+    t0z, t1z = (lz - olz) * inv2, (uz - olz) * inv2
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), BIG),
+    )
+    ok = near <= far
+    t_l = jnp.where(near > 0.0, near, far)
+    plx = olx + t_l * dlx
+    ply = oly + t_l * dly
+    plz = olz + t_l * dlz
+    pwx = m[0] * plx + m[1] * ply + m[2] * plz + m[3]
+    pwy = m[4] * plx + m[5] * ply + m[6] * plz + m[7]
+    pwz = m[8] * plx + m[9] * ply + m[10] * plz + m[11]
+    t = jnp.sqrt(
+        (pwx - o[0]) ** 2 + (pwy - o[1]) ** 2 + (pwz - o[2]) ** 2
+    )
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_disk(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    px, py, pz = fetch(0), fetch(1), fetch(2)
+    nx, ny, nz = fetch(3), fetch(4), fetch(5)
+    r = fetch(6)
+    denom = d[0] * nx + d[1] * ny + d[2] * nz
+    denom = jnp.where(denom == 0.0, 1e-12, denom)
+    t = ((px - o[0]) * nx + (py - o[1]) * ny + (pz - o[2]) * nz) / denom
+    hx = o[0] + t * d[0] - px
+    hy = o[1] + t * d[1] - py
+    hz = o[2] + t * d[2] - pz
+    ok = hx * hx + hy * hy + hz * hz <= r * r
+    return _finish(t, ok, tmin, tmax)
+
+
+def _test_plane(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    px, py, pz = fetch(0), fetch(1), fetch(2)
+    nx, ny, nz = fetch(3), fetch(4), fetch(5)
+    denom = d[0] * nx + d[1] * ny + d[2] * nz
+    denom = jnp.where(denom == 0.0, 1e-12, denom)
+    t = ((px - o[0]) * nx + (py - o[1]) * ny + (pz - o[2]) * nz) / denom
+    return _finish(t, jnp.ones_like(t, bool), tmin, tmax)
+
+
+def _test_cylinder(fetch, o, d, tmin, tmax):
+    import jax.numpy as jnp
+
+    px, py, pz = fetch(0), fetch(1), fetch(2)
+    qx, qy, qz = fetch(3), fetch(4), fetch(5)
+    nx, ny, nz = fetch(6), fetch(7), fetch(8)
+    r = fetch(9)
+    mx, my, mz = o[0] - px, o[1] - py, o[2] - pz
+    dn = d[0] * nx + d[1] * ny + d[2] * nz
+    vx, vy, vz = d[0] - dn * nx, d[1] - dn * ny, d[2] - dn * nz
+    mn = mx * nx + my * ny + mz * nz
+    wx, wy, wz = mx - mn * nx, my - mn * ny, mz - mn * nz
+    a = vx * vx + vy * vy + vz * vz
+    b = 2.0 * (vx * wx + vy * wy + vz * wz)
+    c = wx * wx + wy * wy + wz * wz - r * r
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a == 0.0, 1e-6, a)
+    t0 = (-b - sq) / (2.0 * a_safe)
+    t = jnp.where(t0 < tmin, (-b + sq) / (2.0 * a_safe), t0)
+    axial = mn + t * dn
+    len_ax = (qx - px) * nx + (qy - py) * ny + (qz - pz) * nz
+    ok = (disc >= 0.0) & (axial >= 0.0) & (axial <= len_ax)
+    return _finish(t, ok, tmin, tmax)
+
+
+PRIM_TESTS = {
+    S.RECT: _test_rect,
+    S.SPHERE: _test_sphere,
+    S.TRIANGLE: _test_triangle,
+    S.CONE: _test_cone,
+    S.BOX_AABB: _test_aabb,
+    S.BOX_OBB: _test_obb,
+    S.DISK: _test_disk,
+    S.PLANE: _test_plane,
+    S.CYLINDER: _test_cylinder,
+}
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+def _make_bvh_kernel(tid, width, any_hit):
+    """Build the Pallas kernel body for one group's BVH walk."""
+    import jax
+    import jax.numpy as jnp
+
+    test = PRIM_TESTS[tid]
+
+    def kernel(boxes, cnode, cstart, ccount, rows,  # SMEM scalar-prefetch
+               ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,  # VMEM (8,128)
+               bt_out, be_out, stack):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        tmin = tmn[:]
+        inv = (_safe_inv(d[0]), _safe_inv(d[1]), _safe_inv(d[2]))
+        stack[0] = 0
+
+        def slab_child(node, k, best_t):
+            base = node * 12 + k * 6
+            lx, ly, lz = boxes[base], boxes[base + 1], boxes[base + 2]
+            ux, uy, uz = boxes[base + 3], boxes[base + 4], boxes[base + 5]
+            t0x, t1x = (lx - o[0]) * inv[0], (ux - o[0]) * inv[0]
+            t0y, t1y = (ly - o[1]) * inv[1], (uy - o[1]) * inv[1]
+            t0z, t1z = (lz - o[2]) * inv[2], (uz - o[2]) * inv[2]
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+            )
+            hit = near <= far
+            return hit, jnp.min(jnp.where(hit, near, BIG))
+
+        def leaf(node, k, best_t, best_e):
+            start = cstart[node * 2 + k]
+            cnt = ccount[node * 2 + k]
+            for j in range(LEAF_MAX):
+                e = start + j
+
+                def fetch(c):
+                    return rows[e * width + c]
+
+                tt = test(fetch, o, d, tmin, best_t)
+                tt = jnp.where(j < cnt, tt, BIG)
+                if any_hit:
+                    # int32 carry: Mosaic mishandles i1 vregs through cond
+                    best_e = jnp.maximum(best_e, (tt < BIG).astype(jnp.int32))
+                else:
+                    better = tt < best_t
+                    best_t = jnp.where(better, tt, best_t)
+                    best_e = jnp.where(better, e, best_e)
+            return best_t, best_e
+
+        def body(state):
+            sp, best_t, best_e = state
+            sp1 = sp - 1
+            node = stack[sp1]
+            c0 = cnode[node * 2]
+            c1 = cnode[node * 2 + 1]
+            hit0, tn0 = slab_child(node, 0, best_t)
+            hit1, tn1 = slab_child(node, 1, best_t)
+            any0 = jnp.any(hit0)
+            any1 = jnp.any(hit1)
+
+            # leaf children (unconditional masked compute; cnt=0 when not a
+            # leaf hit keeps the math inert)
+            do0 = any0 & (c0 < 0)
+            do1 = any1 & (c1 < 0)
+            best_t, best_e = jax.lax.cond(
+                do0, lambda a, b: leaf(node, 0, a, b), lambda a, b: (a, b),
+                best_t, best_e,
+            )
+            best_t, best_e = jax.lax.cond(
+                do1, lambda a, b: leaf(node, 1, a, b), lambda a, b: (a, b),
+                best_t, best_e,
+            )
+
+            # push inner children, far first
+            push0 = any0 & (c0 >= 0)
+            push1 = any1 & (c1 >= 0)
+            near0 = tn0 <= tn1
+            # far child first
+            first_c = jnp.where(near0, c1, c0)
+            first_p = jnp.where(near0, push1, push0)
+            second_c = jnp.where(near0, c0, c1)
+            second_p = jnp.where(near0, push0, push1)
+            sp2 = sp1
+
+            stack[jnp.where(first_p, sp2, STACK_DEPTH - 1)] = first_c
+            sp2 = sp2 + first_p.astype(jnp.int32)
+            stack[jnp.where(second_p, sp2, STACK_DEPTH - 1)] = second_c
+            sp2 = sp2 + second_p.astype(jnp.int32)
+            sp2 = jnp.minimum(sp2, STACK_DEPTH - 2)
+            if any_hit:
+                # drain once every lane is occluded
+                sp2 = jnp.where(jnp.all(best_e != 0), 0, sp2)
+            return sp2, best_t, best_e
+
+        def cond(state):
+            sp, _, _ = state
+            return sp > 0
+
+        if any_hit:
+            init = (jnp.int32(1), tmx[:], be_in[:])
+            sp, best_t, occ = jax.lax.while_loop(cond, body, init)
+            bt_out[:] = bt_in[:]
+            be_out[:] = occ
+        else:
+            init = (jnp.int32(1), bt_in[:], be_in[:])
+            sp, best_t, best_e = jax.lax.while_loop(cond, body, init)
+            bt_out[:] = best_t
+            be_out[:] = best_e
+
+    return kernel
+
+
+def _make_dense_kernel(tid, width, n_prims, any_hit):
+    """No-BVH variant: test every prim of a small group."""
+    import jax.numpy as jnp
+
+    test = PRIM_TESTS[tid]
+
+    def kernel(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+               bt_out, be_out):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        tmin = tmn[:]
+        if any_hit:
+            occ = be_in[:]
+            limit = tmx[:]
+            for e in range(n_prims):
+                tt = test(lambda c: rows[e * width + c], o, d, tmin, limit)
+                occ = jnp.maximum(occ, (tt < BIG).astype(jnp.int32))
+            bt_out[:] = bt_in[:]
+            be_out[:] = occ
+        else:
+            best_t = bt_in[:]
+            best_e = be_in[:]
+            for e in range(n_prims):
+                tt = test(lambda c: rows[e * width + c], o, d, tmin, best_t)
+                better = tt < best_t
+                best_t = jnp.where(better, tt, best_t)
+                best_e = jnp.where(better, e, best_e)
+            bt_out[:] = best_t
+            be_out[:] = best_e
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# transposed grid kernel: prims ride SUBLANES via an (E,128) component table
+# (vector loads, zero scalar broadcasts in the prim loop); rays ride LANES.
+# Two-level AABB cull over leaf-ordered cells (16 prims) and supercells (128)
+# prunes the prim tiles each 128-ray row must test.
+# --------------------------------------------------------------------------
+
+CELL = 16       # prims per cell (2 sublane-tiles of 8)
+SUPER = 128     # prims per supercell (8 cells)
+
+
+def _make_grid_kernel(tid, width, n_prims, any_hit):
+    """Supercell-culled transposed dense kernel.
+
+    State lives in VMEM scratch and all control flow is @pl.when predication
+    (a lax.cond with vector carries costs ~1.5us in Mosaic — measured; scratch
+    mutation makes branching nearly free).  Prim tiles load as (8,1) sublane
+    vectors: zero scalar broadcasts in the prim loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    test = PRIM_TESTS[tid]
+    n_super = (n_prims + SUPER - 1) // SUPER
+    tiles_per_super = SUPER // 8
+
+    def kernel(sc_boxes, cell_boxes, rows,  # SMEM x2 + VMEM (E_pad,128)
+               ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+               bt_out, be_out, bt_s, be_s):
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        invx = _safe_inv(dx[:])
+        invy = _safe_inv(dy[:])
+        invz = _safe_inv(dz[:])
+        bt_s[:] = tmx[:] if any_hit else bt_in[:]
+        be_s[:] = be_in[:]
+
+        def do_super(si, _):
+            # cull: supercell AABB vs the whole (8,128) ray block
+            base = si * 6
+            lx, ly, lz = sc_boxes[base], sc_boxes[base + 1], sc_boxes[base + 2]
+            ux, uy, uz = sc_boxes[base + 3], sc_boxes[base + 4], sc_boxes[base + 5]
+            t0x, t1x = (lx - ox[:]) * invx, (ux - ox[:]) * invx
+            t0y, t1y = (ly - oy[:]) * invy, (uy - oy[:]) * invy
+            t0z, t1z = (lz - oz[:]) * invz, (uz - oz[:]) * invz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmn[:]),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
+            )
+            sc_hit = jnp.any(near <= far)
+
+            @pl.when(sc_hit)
+            def _():
+                for s in range(K_SUB):
+                    o = (ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :])
+                    d = (dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :])
+                    tmin = tmn[s : s + 1, :]
+                    for tile in range(tiles_per_super):
+                        p0 = si * SUPER + tile * 8
+
+                        def fetch(c, p0=p0):
+                            return rows[pl.ds(p0, 8), c : c + 1]  # (8,1)
+
+                        row_bt = bt_s[s : s + 1, :]
+                        limit = tmx[s : s + 1, :] if any_hit else row_bt
+                        tt = test(fetch, o, d, tmin, limit)
+                        pid = p0 + sub_iota
+                        tt = jnp.where(pid < n_prims, tt, BIG)
+                        if any_hit:
+                            be_s[s : s + 1, :] = jnp.maximum(
+                                be_s[s : s + 1, :],
+                                jnp.max((tt < BIG).astype(jnp.int32), axis=0, keepdims=True),
+                            )
+                        else:
+                            tb = jnp.min(tt, axis=0, keepdims=True)
+                            eb = jnp.min(
+                                jnp.where(tt == tb, pid, jnp.int32(2**30)),
+                                axis=0, keepdims=True,
+                            )
+                            better = tb < row_bt
+                            bt_s[s : s + 1, :] = jnp.where(better, tb, row_bt)
+                            be_s[s : s + 1, :] = jnp.where(
+                                better, eb, be_s[s : s + 1, :]
+                            )
+
+            return 0
+
+        jax.lax.fori_loop(0, n_super, do_super, 0)
+        if any_hit:
+            bt_out[:] = bt_in[:]
+        else:
+            bt_out[:] = bt_s[:]
+        be_out[:] = be_s[:]
+
+    return kernel
+
+
+def _grid_layout(g):
+    """Host-side transposed tables for the grid kernel.  MUST be called at
+    accel-build time (outside any trace) — see _group_smem_arrays."""
+    import jax.numpy as jnp
+
+    if "_grid" in g:
+        return g["_grid"]
+    rows = np.asarray(g["rows_np"], np.float32)  # host copy: no d2h readback
+    if g["kind"] == "bvh":
+        rows = rows[: rows.shape[0] - LEAF_MAX]  # drop builder padding
+    E, W = rows.shape
+    E_pad = ((E + SUPER - 1) // SUPER) * SUPER
+    table = np.zeros((E_pad, 128), np.float32)
+    table[:E, :W] = rows
+    # CRITICAL: pad with a replicated VALID row, not zeros.  Zero rows make
+    # the tests divide by zero; producing a single NaN/Inf anywhere puts this
+    # TPU into a ~1000x slow mode for the rest of the process (measured).
+    table[E:, :W] = rows[0]
+    # AABB per prim for cells: from the shape's own params we can't cheaply
+    # recompute; use stored per-entity AABBs carried by the builder.
+    boxes = g["_prim_aabbs"]  # (E, 6) lo,hi in leaf order
+    cb = np.zeros(((E_pad // CELL), 6), np.float32)
+    sb = np.zeros(((E_pad // SUPER), 6), np.float32)
+    for arr, size in ((cb, CELL), (sb, SUPER)):
+        for i in range(len(arr)):
+            seg = boxes[i * size : min((i + 1) * size, E)]
+            if len(seg) == 0:
+                arr[i, 0:3] = 1.0
+                arr[i, 3:6] = -1.0  # empty box: never hit
+            else:
+                arr[i, 0:3] = seg[:, 0:3].min(0)
+                arr[i, 3:6] = seg[:, 3:6].max(0)
+    g["_grid"] = dict(
+        table=jnp.asarray(table),
+        cell_boxes=jnp.asarray(cb.reshape(-1)),
+        sc_boxes=jnp.asarray(sb.reshape(-1)),
+        n_prims=E, width=W, e_pad=E_pad,
+    )
+    return g["_grid"]
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    grid = (n_rows // K_SUB,)
+    ray_spec = pl.BlockSpec(
+        (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = pl.BlockSpec(
+        (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_grid_kernel(tid, width, n_prims, any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[table_spec] + [ray_spec] * 10,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[
+            pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+GRID_MAX_PRIMS = 8192  # (E,128) f32 table <= 4 MB VMEM
+
+
+def _grid_eligible(g):
+    if g["tid"] not in PRIM_TESTS or "_prim_aabbs" not in g:
+        return False
+    return g["_prim_aabbs"].shape[0] <= GRID_MAX_PRIMS
+
+
+def group_supports_pallas(g):
+    """Eligibility: a scalar test exists and tables fit on-chip budgets."""
+    if g["tid"] not in PRIM_TESTS:
+        return False
+    if _grid_eligible(g):
+        return True
+    nbytes = g["rows"].size * 4
+    if g["kind"] == "bvh":
+        nbytes += g["c_lower"].size * 4 * 2 + g["c_node"].size * 4 * 3
+    return nbytes <= SMEM_BUDGET
+
+
+def _group_smem_arrays(g):
+    """Flatten group tables into SMEM layout.  MUST be called at accel-build
+    time (outside any trace): the jnp arrays land in the group dict where the
+    capture walker (core/capture.py) finds them, so they reach jit as
+    arguments — a captured device constant poisons the TPU dispatch path."""
+    import jax.numpy as jnp
+
+    if "_smem" in g:
+        return g["_smem"]
+    # use the host-side copies: reading back a device array (np.asarray on a
+    # jnp array) ALSO poisons the dispatch path
+    rows = np.asarray(g["rows_np"], np.float32)
+    width = rows.shape[1]
+    smem = dict(rows=jnp.asarray(rows.reshape(-1)), width=width)
+    if g["kind"] == "bvh":
+        nn = g["nodes_np"]
+        cl = np.asarray(nn["c_lower"], np.float32)  # (M,2,3)
+        cu = np.asarray(nn["c_upper"], np.float32)
+        smem["boxes"] = jnp.asarray(np.concatenate([cl, cu], axis=-1).reshape(-1))
+        smem["cnode"] = jnp.asarray(np.asarray(nn["c_node"], np.int32).reshape(-1))
+        smem["cstart"] = jnp.asarray(np.asarray(nn["c_start"], np.int32).reshape(-1))
+        smem["ccount"] = jnp.asarray(np.asarray(nn["c_count"], np.int32).reshape(-1))
+    g["_smem"] = smem
+    return smem
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
+    """Build the pallas_call for a given group signature; n_rows = rays/128."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    grid = (n_rows // K_SUB,)
+    # with scalar prefetch, index maps receive the scalar refs as extra args
+    ray_spec = pl.BlockSpec(
+        (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    n_ray_ops = 10  # ox..tmx, bt, be
+
+    if kind == "bvh":
+        kernel = _make_bvh_kernel(tid, width, any_hit)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=[ray_spec] * n_ray_ops,
+            out_specs=(ray_spec, ray_spec),
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        )
+    else:
+        kernel = _make_dense_kernel(tid, width, n_prims, any_hit)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray_spec] * n_ray_ops,
+            out_specs=(ray_spec, ray_spec),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",  # CPU: correctness only
+    )
+    return call
+
+
+def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
+    """Run one group's Pallas kernel over a flat wavefront.
+
+    closest-hit: best_e carries LOCAL slot ids on input for this group's rows
+    (caller translates via base); returns (best_t, best_e_local).
+    any-hit: best_e in/out is the 0/1 occlusion flag; best_t passes through.
+    """
+    import jax.numpy as jnp
+
+    n = ro.shape[0]
+    n_pad = ((n + KP - 1) // KP) * KP
+    R = n_pad // K_LANE
+
+    def prep(x, fill):
+        x = jnp.asarray(x, jnp.float32) if x.dtype != jnp.int32 else x
+        if n_pad != n:
+            pad = jnp.full((n_pad - n,), fill, x.dtype)
+            x = jnp.concatenate([x, pad])
+        return x.reshape(R, K_LANE)
+
+    args = (
+        prep(ro[:, 0], 0.0), prep(ro[:, 1], 0.0), prep(ro[:, 2], 0.0),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1], 0.0), prep(rd[:, 2], 0.0),
+        prep(tmin, 0.0), prep(tmax, -1.0),
+        prep(best_t, -1.0), prep(best_e, 0),
+    )
+    if _grid_eligible(g):
+        grid_l = _grid_layout(g)
+        call = _compiled_grid_call(
+            g["tid"], grid_l["width"], grid_l["n_prims"],
+            grid_l["e_pad"], any_hit, R,
+        )
+        out_t, out_e = call(
+            grid_l["sc_boxes"], grid_l["cell_boxes"], grid_l["table"], *args
+        )
+        return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
+
+    smem = _group_smem_arrays(g)
+    call = _compiled_call(
+        g["tid"], smem["width"], g["kind"],
+        0 if g["kind"] == "bvh" else int(g["rows"].shape[0]),
+        any_hit, R,
+    )
+    if g["kind"] == "bvh":
+        out_t, out_e = call(
+            smem["boxes"], smem["cnode"], smem["cstart"], smem["ccount"],
+            smem["rows"], *args,
+        )
+    else:
+        out_t, out_e = call(smem["rows"], *args)
+    return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]

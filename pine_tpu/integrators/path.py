@@ -131,8 +131,13 @@ def render_wavefront(
     if chunk is None:
         chunk = min(n, DEFAULT_CHUNK)
     cam_params = cam.params()
-    cam_key = tuple(
-        tuple(np.asarray(v, np.float32).ravel().tolist()) for v in cam_params.values()
+    # cache key from HOST-side camera fields: np.asarray on the device params
+    # would be a d2h readback, which permanently poisons TPU dispatch
+    cam_key = (
+        tuple(np.asarray(cam.position, np.float32).ravel().tolist()),
+        tuple(np.asarray(cam.c2w, np.float32).ravel().tolist()),
+        float(cam.len_radius), float(cam.focus_distance),
+        tuple(np.asarray(cam.fov2d, np.float32).ravel().tolist()),
     )
     key = (
         _scene_token(cscene), _sampler_key(sampler), cam_key,
@@ -142,49 +147,65 @@ def render_wavefront(
         if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
             _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
 
-        def fn(xs, ys):
-            def body(i, carry):
-                acc, nrays = carry
-                L, r = path_trace_sample(
-                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth, nee,
-                    return_stats=True,
+        from pine_tpu.core.capture import bind, collect_device_arrays
+
+        # every device array the render body reads must arrive as a jit
+        # ARGUMENT: a captured device constant permanently poisons the TPU
+        # dispatch path (~1000x slower calls; see core/capture.py)
+        arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
+
+        def fn(xs, ys, vals):
+            with bind(setters, vals):
+                def body(i, carry):
+                    acc, nrays = carry
+                    L, r = path_trace_sample(
+                        cscene, cam_params, xs, ys, W, H, sampler, i, max_depth, nee,
+                        return_stats=True,
+                    )
+                    return acc + L, nrays + r
+
+                total, nrays = jax.lax.fori_loop(
+                    0, spp, body,
+                    (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
                 )
-                return acc + L, nrays + r
+                return total / spp, nrays
 
-            total, nrays = jax.lax.fori_loop(
-                0, spp, body,
-                (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
-            )
-            return total / spp, nrays
+        _RENDER_CACHE[key] = (jax.jit(fn), arrays, setters)
+    fn, bound_arrays, _ = _RENDER_CACHE[key]
 
-        _RENDER_CACHE[key] = jax.jit(fn)
-    fn = _RENDER_CACHE[key]
-
+    # The whole render stays ON DEVICE: reading any value back to host (even
+    # one float) permanently poisons this TPU's dispatch path (~1000x slower
+    # calls).  Chunks accumulate as device arrays; the caller reads the final
+    # image back once, after all compute (and after any timing).
     perm = tile_order(W, H)
     ys_all, xs_all = np.divmod(perm, W)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     if n_pad > n:  # pad with repeats of the final pixel; results dropped
         xs_all = np.concatenate([xs_all, np.full(n_pad - n, xs_all[-1])])
         ys_all = np.concatenate([ys_all, np.full(n_pad - n, ys_all[-1])])
-    out = np.zeros((n, 3), np.float32)
-    total_rays = 0.0
+    chunks = []
+    ray_counts = []
     n_chunks = n_pad // chunk
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
         L, nrays = fn(
-            jnp.asarray(xs_all[sl], jnp.int32), jnp.asarray(ys_all[sl], jnp.int32)
+            jnp.asarray(xs_all[sl], jnp.int32), jnp.asarray(ys_all[sl], jnp.int32),
+            bound_arrays,
         )
-        L = np.asarray(L)
-        total_rays += float(nrays)
-        take = min(chunk, n - c * chunk)
-        out[perm[c * chunk : c * chunk + take]] = L[:take]
+        chunks.append(L)
+        ray_counts.append(nrays)
         frac = (c + 1) / n_chunks
         progress_mod.set_progress(frac)
         if progress is not None:
             progress(frac)
-    img = jnp.asarray(out.reshape(H, W, 3))
+    flat = jnp.concatenate(chunks, axis=0)[:n]
+    inv_perm = jnp.asarray(np.argsort(perm), jnp.int32)
+    img = flat[inv_perm].reshape(H, W, 3)
     if return_stats:
-        return img, {"traced_rays": total_rays}
+        total = ray_counts[0]
+        for r in ray_counts[1:]:
+            total = total + r
+        return img, {"traced_rays": total}
     return img
 
 
@@ -251,7 +272,11 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             else:
                 L_indirect = L_indirect + jnp.where(m, contrib, 0.0)
 
-        hp = ro + t[:, None] * rd
+        # clamp miss-lane t before forming hit points: t=BIG would overflow
+        # to Inf/NaN downstream (squared lengths), and a single non-finite
+        # intermediate drops this TPU into a ~1000x slow mode (measured)
+        t_hit = jnp.where(hitm, t, 1.0)
+        hp = ro + t_hit[:, None] * rd
         p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
         ctx = dict(p=p_s, n=ns, uv=uv)
         wi_world = -rd
@@ -260,7 +285,7 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         emis = cscene.is_emissive_lane(gidx) & hitm
         if cscene.emissive_globals:
             le = cscene.emissive_le(gidx, ctx, wi_world)
-            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t, ns)
+            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
             mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
             contrib = beta * le * mis[:, None]
             m = emis[:, None]
