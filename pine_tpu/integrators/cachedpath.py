@@ -1,17 +1,363 @@
-"""Radiance-caching path integrator (parity: impl/integrator/cachedpath.cpp).
+"""CachedPathIntegrator: radiance caching in a dense spatial grid
+(parity: impl/integrator/cachedpath.cpp).
 
-Reference: dense Array3d spatial grid of atomic flux bins, learning phase then
-cache lookup at depth >= starting_depth (cachedpath.cpp:15-200).  TPU design:
-the grid is a dense (R,R,R,6) jnp array accumulated with scatter-adds.
-Currently renders via the plain wavefront path (cache layer lands next);
-quality is equal-or-better at equal spp, cost is higher."""
+The reference's ``SpatialTree`` of atomic flux bins (cachedpath.cpp:15-53)
+maps directly to a dense jnp grid with scatter-add.  Two phases
+(cachedpath.cpp:105-133):
+
+- **learning** (spp/4): plain path tracing; every vertex's outgoing radiance
+  ``lo`` is binned at its hit cell.  The recursion's per-vertex ``lo`` is
+  recovered wavefront-style with a reverse sweep over per-depth records
+  (lo_v = nee_v + thr_v * (emit_{v+1} + lo_{v+1})).
+- **render** (spp): same walk, but once the previous bounce was non-delta and
+  depth >= starting_depth, the path terminates into a jittered cache lookup
+  (cachedpath.cpp:168-170).
+"""
 from __future__ import annotations
 
-from pine_tpu.integrators.path import PathIntegrator
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pine_tpu.core import camera as camera_mod
+from pine_tpu.core.ray import offset_ray_origin
+from pine_tpu.core.sampling import balance_heuristic
+from pine_tpu.core.vecmath import dot, face_forward, to_local, to_world
+from pine_tpu.integrators import path as path_mod
+from pine_tpu.scene import bxdf as bxdf_mod
+from pine_tpu.scene import material_eval
+
+FLOAT_MAX = path_mod.FLOAT_MAX
+MIN_ROUGHNESS = path_mod.MIN_ROUGHNESS
 
 
-class CachedPathIntegrator(PathIntegrator):
-    def __init__(self, sampler, max_path_length, resolution=32, starting_depth=1):
-        super().__init__(sampler, max_path_length)
-        self.resolution = resolution
-        self.starting_depth = starting_depth
+class SpatialGrid:
+    """Dense (X,Y,Z) flux/count grid (cachedpath.cpp SpatialTree)."""
+
+    def __init__(self, lo, hi, max_axis_resolution):
+        lo = np.asarray(lo, np.float32)
+        hi = np.asarray(hi, np.float32)
+        diag = np.maximum(hi - lo, 1e-6)
+        res = np.maximum(
+            (max_axis_resolution * diag / diag.max()).astype(np.int32), 1
+        )
+        self.res = tuple(int(r) for r in res)
+        self.lo = lo - 1e-4
+        self.inv_diag = 1.0 / (diag + 2e-4)
+        self.tight_lo = lo
+        self.tight_hi = hi
+        self.cell_size = diag / res
+
+    def n_cells(self):
+        return self.res[0] * self.res[1] * self.res[2]
+
+    def cell_of(self, p):
+        rel = (p - jnp.asarray(self.lo)) * jnp.asarray(self.inv_diag)
+        res = jnp.asarray(self.res, jnp.int32)
+        ijk = jnp.clip((rel * res.astype(jnp.float32)).astype(jnp.int32), 0, res - 1)
+        return (ijk[:, 0] * self.res[1] + ijk[:, 1]) * self.res[2] + ijk[:, 2]
+
+    def jittered_cell_of(self, p, u3):
+        """flux_estimate's jittered lookup (cachedpath.cpp:37-41)."""
+        p = p + (u3 - 0.5) * jnp.asarray(self.cell_size, jnp.float32)
+        p = jnp.clip(p, jnp.asarray(self.tight_lo), jnp.asarray(self.tight_hi))
+        return self.cell_of(p)
+
+
+class CachedPathIntegrator:
+    """PRL: CachedPathIntegrator(sampler, max_path_length[, max_axis_resolution
+    [, starting_depth]]) (program_context.cpp:83-93)."""
+
+    def __init__(self, sampler, max_path_length, max_axis_resolution=128,
+                 starting_depth=1):
+        if max_path_length <= 0:
+            raise ValueError(
+                f"`CachedPathIntegrator` expect `max_path_length` to be positive, got {max_path_length}"
+            )
+        if max_axis_resolution <= 0:
+            raise ValueError(
+                f"`CachedPathIntegrator` expect `max_axis_resolution` to be positive, got {max_axis_resolution}"
+            )
+        if starting_depth < 0:
+            raise ValueError(
+                f"`CachedPathIntegrator` expect `starting_depth` to be non-negative, got {starting_depth}"
+            )
+        self.sampler = sampler
+        self.max_path_length = int(max_path_length)
+        self.max_axis_resolution = int(max_axis_resolution)
+        self.starting_depth = int(starting_depth)
+
+    def render(self, scene):
+        cscene = scene.compile()
+        cam = scene.camera
+        film = cam.film
+        W, H = film.width, film.height
+        img = render_cached(
+            cscene, cam, W, H, self.sampler, self.sampler.spp,
+            self.max_path_length, self.max_axis_resolution, self.starting_depth,
+        )
+        film.set_rgb(np.asarray(img))
+        return film
+
+
+def render_cached(cscene, cam, W, H, sampler, spp, max_depth,
+                  max_axis_resolution=128, starting_depth=1):
+    from pine_tpu.core.capture import bind, collect_device_arrays
+
+    lo, hi = cscene.scene.get_aabb()
+    grid = SpatialGrid(lo, hi, max_axis_resolution)
+    n = W * H
+    cam_params = cam.params()
+    learning_spp = max(spp // 4, 1)
+    render_spp = max(spp, 1)
+
+    arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
+    ys_np, xs_np = np.divmod(np.arange(n, dtype=np.int64), W)
+    xs = jnp.asarray(xs_np, jnp.int32)
+    ys = jnp.asarray(ys_np, jnp.int32)
+
+    def learn(xs, ys, vals):
+        with bind(setters, vals):
+            flux = jnp.zeros((grid.n_cells(), 3), jnp.float32)
+            count = jnp.zeros((grid.n_cells(),), jnp.float32)
+
+            def body(i, carry):
+                flux, count = carry
+                recs = _trace_recorded(
+                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth, grid
+                )
+                # reverse sweep: lo_v = nee_v + thr_v * (emit_{v+1} + lo_{v+1})
+                lo_next = jnp.zeros((xs.shape[0], 3), jnp.float32)
+                for d in range(max_depth - 2, -1, -1):
+                    lo_v = recs["nee"][d] + recs["thr"][d] * (
+                        recs["emit"][d + 1] + lo_next
+                    )
+                    m = recs["valid"][d]
+                    flux = flux.at[recs["cell"][d]].add(
+                        jnp.where(m[:, None], lo_v, 0.0)
+                    )
+                    count = count.at[recs["cell"][d]].add(m.astype(jnp.float32))
+                    lo_next = lo_v
+                return flux, count
+
+            return jax.lax.fori_loop(
+                0, learning_spp, body,
+                (jnp.zeros((grid.n_cells(), 3), jnp.float32),
+                 jnp.zeros((grid.n_cells(),), jnp.float32)),
+            )
+
+    flux, count = jax.jit(learn)(xs, ys, arrays)
+    cache = flux / jnp.maximum(count, 1.0)[:, None]
+
+    def rendr(xs, ys, vals, cache):
+        with bind(setters, vals):
+            def body(i, acc):
+                return acc + _trace_with_cache(
+                    cscene, cam_params, xs, ys, W, H, sampler, i, max_depth,
+                    grid, cache, starting_depth,
+                )
+
+            total = jax.lax.fori_loop(
+                0, render_spp, body, jnp.zeros((xs.shape[0], 3), jnp.float32)
+            )
+            return total / render_spp
+
+    img = jax.jit(rendr)(xs, ys, arrays, cache)
+    return img.reshape(H, W, 3)
+
+
+def _vertex_setup(cscene, cam_params, xs, ys, W, H, sampler, sample_index):
+    f32 = jnp.float32
+    jitter = sampler.u2(xs, ys, sample_index, 0)
+    u_lens = sampler.u2(xs, ys, sample_index, 2)
+    p_film = (jnp.stack([xs, ys], -1).astype(f32) + jitter) / jnp.asarray([W, H], f32)
+    return camera_mod.gen_rays(cam_params, p_film, u_lens)
+
+
+def _trace_recorded(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
+                    max_depth, grid):
+    """Learning-phase forward pass: per-depth records for the reverse sweep."""
+    n = xs.shape[0]
+    f32 = jnp.float32
+    ro, rd = _vertex_setup(cscene, cam_params, xs, ys, W, H, sampler, sample_index)
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), f32)
+    prev_delta = jnp.ones((n,), bool)
+    diffused = jnp.zeros((n,), bool)
+    tmin = jnp.zeros((n,), f32)
+    n_lights = len(cscene.lights)
+
+    recs = dict(
+        nee=[jnp.zeros((n, 3), f32)] * max_depth,
+        thr=[jnp.zeros((n, 3), f32)] * max_depth,
+        emit=[jnp.zeros((n, 3), f32)] * max_depth,
+        cell=[jnp.zeros((n,), jnp.int32)] * max_depth,
+        valid=[jnp.zeros((n,), bool)] * max_depth,
+    )
+
+    for depth in range(max_depth):
+        dim = 4 + depth * 16
+        t, gidx, hitm, mesh_tri = cscene.intersect(
+            ro, rd, tmin, jnp.full((n,), FLOAT_MAX, f32)
+        )
+        hitm = hitm & alive
+        t_hit = jnp.where(hitm, t, 1.0)
+
+        # emissive/env arriving along this segment (no beta: handled by sweep)
+        emit = jnp.zeros((n, 3), f32)
+        if cscene.env_light is not None:
+            le_env = cscene.env_light.color(rd)
+            mis = jnp.where(
+                prev_delta, 1.0,
+                balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
+            )
+            emit = emit + jnp.where((alive & ~hitm)[:, None], le_env * mis[:, None], 0.0)
+
+        hp = ro + t_hit[:, None] * rd
+        p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
+        ctx = dict(p=p_s, n=ns, uv=uv)
+        wi_world = -rd
+
+        emis = cscene.is_emissive_lane(gidx) & hitm
+        if cscene.emissive_globals:
+            le = cscene.emissive_le(gidx, ctx, wi_world)
+            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
+            mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
+            emit = emit + jnp.where(emis[:, None], le * mis[:, None], 0.0)
+        recs["emit"][depth] = emit
+
+        alive = hitm & ~emis
+        if depth + 1 >= max_depth:
+            break
+
+        mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
+        u_mat = sampler.u2(xs, ys, sample_index, dim + 3)
+        state = material_eval.eval_bxdf_state(
+            cscene, mat_idx, ctx, wi_world, u_mat[:, 0], u_mat[:, 1],
+            MIN_ROUGHNESS, diffused,
+        )
+        wi = to_local(ns, wi_world)
+
+        if n_lights > 0:
+            u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
+            u_light = sampler.u2(xs, ys, sample_index, dim + 1)
+            ls = path_mod.sample_one_light(cscene, p_s, u_sel, u_light, ctx)
+            contrib, _ = path_mod.nee_contribution(
+                cscene, p_s, ns, state, wi, ls, alive
+            )
+            recs["nee"][depth] = contrib
+
+        u_wm = sampler.u2(xs, ys, sample_index, dim + 5)
+        u_fr = sampler.u1(xs, ys, sample_index, dim + 7)
+        u_cos = sampler.u2(xs, ys, sample_index, dim + 8)
+        bs = bxdf_mod.sample(state, wi, u_wm, u_fr, u_cos)
+        wo_world = to_world(ns, bs["wo"])
+        cosine = jnp.abs(dot(wo_world, ns))
+        thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
+        recs["thr"][depth] = jnp.where((alive & bs["valid"])[:, None], thr, 0.0)
+        recs["cell"][depth] = grid.cell_of(p_s)
+        recs["valid"][depth] = alive
+
+        alive = alive & bs["valid"]
+        prev_pdf = bs["pdf"]
+        prev_delta = bs["is_delta_sample"]
+        diffused = diffused | (alive & ~bs["is_delta_sample"])
+        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        rd = wo_world
+        tmin = jnp.zeros((n,), f32)
+
+    return recs
+
+
+def _trace_with_cache(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
+                      max_depth, grid, cache, starting_depth):
+    """Render-phase walk: terminate into the cache at eligible vertices
+    (cachedpath.cpp:168-170)."""
+    n = xs.shape[0]
+    f32 = jnp.float32
+    ro, rd = _vertex_setup(cscene, cam_params, xs, ys, W, H, sampler, sample_index)
+    L = jnp.zeros((n, 3), f32)
+    beta = jnp.ones((n, 3), f32)
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), f32)
+    prev_delta = jnp.ones((n,), bool)
+    diffused = jnp.zeros((n,), bool)
+    tmin = jnp.zeros((n,), f32)
+    n_lights = len(cscene.lights)
+
+    for depth in range(max_depth):
+        dim = 4 + depth * 16
+        t, gidx, hitm, mesh_tri = cscene.intersect(
+            ro, rd, tmin, jnp.full((n,), FLOAT_MAX, f32)
+        )
+        hitm = hitm & alive
+        t_hit = jnp.where(hitm, t, 1.0)
+
+        if cscene.env_light is not None:
+            le_env = cscene.env_light.color(rd)
+            mis = jnp.where(
+                prev_delta, 1.0,
+                balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
+            )
+            L = L + jnp.where((alive & ~hitm)[:, None], beta * le_env * mis[:, None], 0.0)
+
+        hp = ro + t_hit[:, None] * rd
+        p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
+        ctx = dict(p=p_s, n=ns, uv=uv)
+        wi_world = -rd
+
+        emis = cscene.is_emissive_lane(gidx) & hitm
+        if cscene.emissive_globals:
+            le = cscene.emissive_le(gidx, ctx, wi_world)
+            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
+            mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
+            L = L + jnp.where(emis[:, None], beta * le * mis[:, None], 0.0)
+
+        alive = hitm & ~emis
+        if depth + 1 >= max_depth:
+            break
+
+        # cache termination (cachedpath.cpp:168: !pv.is_delta && length >= start)
+        use_cache = alive & ~prev_delta & (depth >= starting_depth)
+        if depth >= starting_depth:
+            u3 = jnp.stack(
+                [sampler.u1(xs, ys, sample_index, dim + 10 + k) for k in range(3)], -1
+            )
+            cell = grid.jittered_cell_of(p_s, u3)
+            L = L + jnp.where(use_cache[:, None], beta * cache[cell], 0.0)
+            alive = alive & ~use_cache
+
+        mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
+        u_mat = sampler.u2(xs, ys, sample_index, dim + 3)
+        state = material_eval.eval_bxdf_state(
+            cscene, mat_idx, ctx, wi_world, u_mat[:, 0], u_mat[:, 1],
+            MIN_ROUGHNESS, diffused,
+        )
+        wi = to_local(ns, wi_world)
+
+        if n_lights > 0:
+            u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
+            u_light = sampler.u2(xs, ys, sample_index, dim + 1)
+            ls = path_mod.sample_one_light(cscene, p_s, u_sel, u_light, ctx)
+            contrib, _ = path_mod.nee_contribution(
+                cscene, p_s, ns, state, wi, ls, alive
+            )
+            L = L + beta * contrib
+
+        u_wm = sampler.u2(xs, ys, sample_index, dim + 5)
+        u_fr = sampler.u1(xs, ys, sample_index, dim + 7)
+        u_cos = sampler.u2(xs, ys, sample_index, dim + 8)
+        bs = bxdf_mod.sample(state, wi, u_wm, u_fr, u_cos)
+        wo_world = to_world(ns, bs["wo"])
+        cosine = jnp.abs(dot(wo_world, ns))
+        thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
+        alive = alive & bs["valid"]
+        beta = jnp.where(alive[:, None], beta * thr, beta)
+        prev_pdf = bs["pdf"]
+        prev_delta = bs["is_delta_sample"]
+        diffused = diffused | (alive & ~bs["is_delta_sample"])
+        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        rd = wo_world
+        tmin = jnp.zeros((n,), f32)
+
+    return L  # reference cachedpath has no firefly clamp

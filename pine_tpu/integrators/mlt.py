@@ -1,13 +1,285 @@
-"""PSSMLT integrator (parity: impl/integrator/mlt.cpp:33-200).
+"""MltIntegrator: PSSMLT with Kelemen mutations
+(parity: impl/integrator/mlt.cpp:33-200 + MltSampler sampler.h:203-273).
 
-Reference: bootstrap estimate, per-thread Kelemen-mutation Markov chains,
-luminance-ratio-weighted film splats + separate direct pass.  TPU design:
-thousands of vmapped independent chains with scatter-add splats.
-Currently renders via the plain wavefront path (chains land next)."""
+The reference runs one Markov chain per CPU thread; here chains are lanes: a
+(C, D) primary-sample matrix mutates in lockstep (large-step restarts with
+probability p_large, otherwise wrapped Gaussian perturbations — the dense
+every-dim equivalent of MltSampler's lazy per-dim updates).  Each step
+evaluates the path for every chain in one wavefront and splats BOTH states
+into the film with Veach expected-value weights (film.add_radiance ->
+scatter-add).
+
+As in the reference, the chains transport only indirect light
+(omit_direct: emissive/env counted at path length > 1); a separate
+plain-path pass of depth 2 adds direct lighting (mlt.cpp:102-113), and the
+chain image is scaled by the bootstrap luminance estimate over the mutation
+count (mlt.cpp:100).
+"""
 from __future__ import annotations
 
-from pine_tpu.integrators.path import PathIntegrator
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pine_tpu.core import camera as camera_mod
+from pine_tpu.core import rng
+from pine_tpu.core.ray import offset_ray_origin
+from pine_tpu.core.sampling import balance_heuristic
+from pine_tpu.core.vecmath import dot, face_forward, to_local, to_world
+from pine_tpu.integrators import path as path_mod
+from pine_tpu.scene import bxdf as bxdf_mod
+from pine_tpu.scene import material_eval
+
+FLOAT_MAX = path_mod.FLOAT_MAX
+MIN_ROUGHNESS = path_mod.MIN_ROUGHNESS
+SIGMA = 0.02     # MltSampler(0.02, 0.02, 0) (mlt.cpp:10)
+P_LARGE = 0.02
 
 
-class MltIntegrator(PathIntegrator):
-    pass
+class ArraySampler:
+    """Primary-sample-space sampler: u's come from a (N, D) value matrix."""
+
+    def __init__(self, X):
+        self.X = X
+        self.spp = 1
+        self.seed = 0
+
+    def u1(self, px, py, sample_index, dim):
+        return self.X[:, dim % self.X.shape[1]]
+
+    def u2(self, px, py, sample_index, dim):
+        D = self.X.shape[1]
+        return jnp.stack([self.X[:, dim % D], self.X[:, (dim + 1) % D]], -1)
+
+
+def luminance(c):
+    return c[..., 0] * 0.2126 + c[..., 1] * 0.7152 + c[..., 2] * 0.0722
+
+
+def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
+    """Path contribution of primary-sample rows X (N,D) -> (L (N,3), pfilm)."""
+    n = X.shape[0]
+    f32 = jnp.float32
+    sampler = ArraySampler(X)
+    pfilm = X[:, 0:2]
+    u_lens = X[:, 2:4]
+    ro, rd = camera_mod.gen_rays(cam_params, pfilm, u_lens)
+    xs = jnp.zeros((n,), jnp.int32)  # unused by ArraySampler
+    ys = jnp.zeros((n,), jnp.int32)
+
+    L = jnp.zeros((n, 3), f32)
+    beta = jnp.ones((n, 3), f32)
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), f32)
+    prev_delta = jnp.ones((n,), bool)
+    diffused = jnp.zeros((n,), bool)
+    tmin = jnp.zeros((n,), f32)
+    n_lights = len(cscene.lights)
+
+    for depth in range(max_depth):
+        dim = 4 + depth * 16
+        t, gidx, hitm, mesh_tri = cscene.intersect(
+            ro, rd, tmin, jnp.full((n,), FLOAT_MAX, f32)
+        )
+        hitm = hitm & alive
+        t_hit = jnp.where(hitm, t, 1.0)
+        count_emit = (not omit_direct) or depth > 1  # mlt.cpp:150,158
+
+        if cscene.env_light is not None and count_emit:
+            le_env = cscene.env_light.color(rd)
+            mis = jnp.where(
+                prev_delta, 1.0,
+                balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
+            )
+            L = L + jnp.where((alive & ~hitm)[:, None], beta * le_env * mis[:, None], 0.0)
+
+        hp = ro + t_hit[:, None] * rd
+        p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
+        ctx = dict(p=p_s, n=ns, uv=uv)
+        wi_world = -rd
+
+        emis = cscene.is_emissive_lane(gidx) & hitm
+        if cscene.emissive_globals and count_emit:
+            le = cscene.emissive_le(gidx, ctx, wi_world)
+            light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
+            mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
+            L = L + jnp.where(emis[:, None], beta * le * mis[:, None], 0.0)
+
+        alive = hitm & ~emis
+        if depth + 1 >= max_depth:
+            break
+
+        mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
+        u_mat = sampler.u2(xs, ys, 0, dim + 3)
+        state = material_eval.eval_bxdf_state(
+            cscene, mat_idx, ctx, wi_world, u_mat[:, 0], u_mat[:, 1],
+            MIN_ROUGHNESS, diffused,
+        )
+        wi = to_local(ns, wi_world)
+
+        # NEE transports light at the NEXT vertex: omit only at depth 0
+        # (mlt.cpp:171 `!omit_direct || pv.length > 0`)
+        if n_lights > 0 and ((not omit_direct) or depth > 0):
+            u_sel = sampler.u1(xs, ys, 0, dim + 0)
+            u_light = sampler.u2(xs, ys, 0, dim + 1)
+            ls = path_mod.sample_one_light(cscene, p_s, u_sel, u_light, ctx)
+            contrib, _ = path_mod.nee_contribution(
+                cscene, p_s, ns, state, wi, ls, alive
+            )
+            L = L + beta * contrib
+
+        u_wm = sampler.u2(xs, ys, 0, dim + 5)
+        u_fr = sampler.u1(xs, ys, 0, dim + 7)
+        u_cos = sampler.u2(xs, ys, 0, dim + 8)
+        bs = bxdf_mod.sample(state, wi, u_wm, u_fr, u_cos)
+        wo_world = to_world(ns, bs["wo"])
+        cosine = jnp.abs(dot(wo_world, ns))
+        thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
+        alive = alive & bs["valid"]
+        beta = jnp.where(alive[:, None], beta * thr, beta)
+        prev_pdf = bs["pdf"]
+        prev_delta = bs["is_delta_sample"]
+        diffused = diffused | (alive & ~bs["is_delta_sample"])
+        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        rd = wo_world
+        tmin = jnp.zeros((n,), f32)
+
+    return L, pfilm
+
+
+def mutate(X, chain_ids, step, seed=0):
+    """Kelemen mutation: large-step restart w.p. P_LARGE, else wrapped
+    Gaussian perturbation of every dim (sampler.h:218-222 + ensure_ready)."""
+    C, D = X.shape
+    u_large = rng.uniform(chain_ids, jnp.uint32(step), jnp.uint32(seed + 7919))
+    large = u_large < P_LARGE
+    dims = jnp.arange(D, dtype=jnp.uint32)
+    u1 = rng.uniform(
+        chain_ids[:, None], dims[None, :], jnp.uint32(step), jnp.uint32(seed + 104729)
+    )
+    u2 = rng.uniform(
+        chain_ids[:, None], dims[None, :], jnp.uint32(step), jnp.uint32(seed + 1299709)
+    )
+    # Box-Muller gaussian
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-7)))
+    g = r * jnp.cos(2.0 * np.pi * u2)
+    Xs = X + SIGMA * g
+    Xs = Xs - jnp.floor(Xs)  # torus wrap
+    Xl = rng.uniform(
+        chain_ids[:, None], dims[None, :], jnp.uint32(step),
+        jnp.uint32(seed + 15485863),
+    )
+    return jnp.where(large[:, None], Xl, Xs), large
+
+
+def accept_prob(lum_new, lum_old):
+    """Kelemen acceptance min(1, l'/l) with the reference's guards."""
+    return jnp.minimum(
+        jnp.where(lum_old > 0.0, lum_new / jnp.maximum(lum_old, 1e-20), 1.0), 1.0
+    )
+
+
+class MltIntegrator:
+    """PRL: MltIntegrator(avg_spp, max_path_length) (program_context.cpp:103)."""
+
+    def __init__(self, avg_spp, max_path_length, n_chains=4096):
+        if max_path_length <= 0:
+            raise ValueError(
+                f"`MltIntegrator` expect `max_path_length` to be positive, got {max_path_length}"
+            )
+        self.avg_spp = int(avg_spp)
+        self.max_path_length = int(max_path_length)
+        self.n_chains = int(n_chains)
+
+    def render(self, scene):
+        cscene = scene.compile()
+        cam = scene.camera
+        film = cam.film
+        W, H = film.width, film.height
+        img = render_mlt(
+            cscene, cam, W, H, self.avg_spp, self.max_path_length, self.n_chains
+        )
+        film.set_rgb(np.asarray(img))
+        return film
+
+
+def render_mlt(cscene, cam, W, H, avg_spp, max_depth, n_chains=4096, seed=0):
+    from pine_tpu.core.capture import bind, collect_device_arrays
+    from pine_tpu.core.samplers import BlueSampler
+
+    cam_params = cam.params()
+    D = 4 + 16 * max_depth
+    C = n_chains
+    arrays, setters = collect_device_arrays((cscene, cam_params))
+
+    n_total = W * H * avg_spp
+    steps = max(n_total // C, 1)
+    boot_rounds = max(100_000 // C, 1)
+
+    def run(vals, seed):
+        with bind(setters, vals):
+            chain_ids = jnp.arange(C, dtype=jnp.uint32)
+            dims = jnp.arange(D, dtype=jnp.uint32)
+
+            # ---- bootstrap: I = E[lum(L(U))] over uniform primary space ----
+            def boot(i, acc):
+                X = rng.uniform(
+                    chain_ids[:, None], dims[None, :], jnp.uint32(i),
+                    jnp.uint32(seed + 31),
+                )
+                L, _ = mlt_radiance(cscene, cam_params, X, W, H, max_depth, True)
+                return acc + jnp.sum(luminance(L))
+
+            I_sum = jax.lax.fori_loop(0, boot_rounds, boot, jnp.zeros((), jnp.float32))
+            I_mean = I_sum / (boot_rounds * C)
+
+            # ---- chains ----
+            X0 = rng.uniform(
+                chain_ids[:, None], dims[None, :], jnp.uint32(0xC0FFEE),
+                jnp.uint32(seed + 57),
+            )
+            L0, pf0 = mlt_radiance(cscene, cam_params, X0, W, H, max_depth, True)
+
+            def splat(img, pfilm, w_rgb):
+                px = jnp.clip((pfilm[:, 0] * W).astype(jnp.int32), 0, W - 1)
+                py = jnp.clip((pfilm[:, 1] * H).astype(jnp.int32), 0, H - 1)
+                return img.at[py, px].add(w_rgb)
+
+            def step_fn(step, carry):
+                X, Lp, img = carry
+                Xn, _ = mutate(X, chain_ids, step, seed)
+                Ln, pfn = mlt_radiance(cscene, cam_params, Xn, W, H, max_depth, True)
+                lp = luminance(Lp)
+                ln = luminance(Ln)
+                a = accept_prob(ln, lp)
+                pfp = X[:, 0:2]
+                img = splat(
+                    img, pfp,
+                    jnp.where((lp > 1e-6)[:, None], Lp / jnp.maximum(lp, 1e-20)[:, None]
+                              * (1.0 - a)[:, None], 0.0),
+                )
+                img = splat(
+                    img, pfn,
+                    jnp.where((ln > 1e-6)[:, None], Ln / jnp.maximum(ln, 1e-20)[:, None]
+                              * a[:, None], 0.0),
+                )
+                u_acc = rng.uniform(chain_ids, jnp.uint32(step), jnp.uint32(seed + 999331))
+                acc = u_acc < a
+                X = jnp.where(acc[:, None], Xn, X)
+                Lp = jnp.where(acc[:, None], Ln, Lp)
+                return X, Lp, img
+
+            img0 = jnp.zeros((H, W, 3), jnp.float32)
+            X, Lp, img = jax.lax.fori_loop(0, steps, step_fn, (X0, L0, img0))
+            # film.scale(I / avg_spp) with the actual mutation count
+            actual_avg_spp = steps * C / (W * H)
+            img = img * (I_mean / actual_avg_spp)
+            return img
+
+    img = jax.jit(run, static_argnames=())(arrays, seed)
+
+    # ---- separate direct-light pass (mlt.cpp:102-113): depth-2 plain path --
+    direct = path_mod.render_wavefront(
+        cscene, cam, W, H, BlueSampler(avg_spp), avg_spp, 2
+    )
+    return img + direct

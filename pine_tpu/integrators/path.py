@@ -209,6 +209,59 @@ def render_wavefront(
     return img
 
 
+def sample_one_light(cscene, p_s, u_sel, u_light, ctx):
+    """Uniform light-list sampling, one light per lane (lightsampler.cpp).
+
+    -> dict(le, wo, distance, pdf, valid, is_delta) with pdf already divided
+    by the light count."""
+    f32 = jnp.float32
+    n = p_s.shape[0]
+    n_lights = len(cscene.lights)
+    pick = jnp.clip((u_sel * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    u1_rem = u_sel * n_lights - pick.astype(f32)
+    ls = dict(
+        le=jnp.zeros((n, 3), f32),
+        wo=jnp.zeros((n, 3), f32),
+        distance=jnp.ones((n,), f32),
+        pdf=jnp.ones((n,), f32),
+        valid=jnp.zeros((n,), bool),
+        is_delta=jnp.zeros((n,), bool),
+    )
+    for li, light in enumerate(cscene.lights):
+        s = light.sample(p_s, u_light, u1_rem, ctx)
+        m = pick == li
+        ls["le"] = jnp.where(m[:, None], s["le"], ls["le"])
+        ls["wo"] = jnp.where(m[:, None], s["wo"], ls["wo"])
+        ls["distance"] = jnp.where(m, s["distance"], ls["distance"])
+        ls["pdf"] = jnp.where(m, s["pdf"] * (1.0 / n_lights), ls["pdf"])
+        ls["valid"] = jnp.where(m, s["valid"], ls["valid"])
+        ls["is_delta"] = jnp.where(m, jnp.full((n,), light.is_delta, bool), ls["is_delta"])
+    return ls
+
+
+def nee_contribution(cscene, p_s, ns, state, wi, ls, alive):
+    """Shadow-tested NEE contribution at a surface vertex (path.cpp:98-113).
+
+    -> (contrib (N,3) WITHOUT beta, did_cast (N,) bool)."""
+    f32 = jnp.float32
+    n = p_s.shape[0]
+    bxdf_delta = bxdf_mod.is_delta(state)
+    do_nee = alive & ls["valid"] & ~bxdf_delta & (ls["pdf"] > 0.0)
+    so = offset_ray_origin(p_s, face_forward(ns, ls["wo"]))
+    occluded = cscene.any_hit(
+        so, ls["wo"], jnp.zeros((n,), f32), ls["distance"] * (1.0 - 1e-3)
+    )
+    wo_l = to_local(ns, ls["wo"])
+    f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
+    cosine = jnp.abs(dot(ls["wo"], ns))
+    mis_l = jnp.where(ls["is_delta"], 1.0, balance_heuristic(ls["pdf"], pdf_l))
+    contrib = ls["le"] * f_l * (cosine / jnp.maximum(ls["pdf"], 1e-20) * mis_l)[:, None]
+    if cscene.media:
+        contrib = contrib * cscene.transmittance(so, ls["wo"], ls["distance"])
+    contrib = jnp.where((do_nee & ~occluded)[:, None], contrib, 0.0)
+    return contrib, do_nee
+
+
 def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, max_depth, nee=True, return_stats=False):
     """One sample per pixel through the full wavefront depth loop -> (N,3).
 
@@ -317,44 +370,10 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         if n_lights > 0 and nee:
             u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
             u_light = sampler.u2(xs, ys, sample_index, dim + 1)
-            pick = jnp.clip((u_sel * n_lights).astype(jnp.int32), 0, n_lights - 1)
-            u1_rem = u_sel * n_lights - pick.astype(f32)
-
-            ls_le = jnp.zeros((n, 3), f32)
-            ls_wo = jnp.zeros((n, 3), f32)
-            ls_dist = jnp.ones((n,), f32)
-            ls_pdf = jnp.ones((n,), f32)
-            ls_valid = jnp.zeros((n,), bool)
-            ls_delta = jnp.zeros((n,), bool)
-            for li, light in enumerate(cscene.lights):
-                s = light.sample(p_s, u_light, u1_rem, ctx)
-                m = pick == li
-                ls_le = jnp.where(m[:, None], s["le"], ls_le)
-                ls_wo = jnp.where(m[:, None], s["wo"], ls_wo)
-                ls_dist = jnp.where(m, s["distance"], ls_dist)
-                ls_pdf = jnp.where(m, s["pdf"] * (1.0 / n_lights), ls_pdf)
-                ls_valid = jnp.where(m, s["valid"], ls_valid)
-                ls_delta = jnp.where(
-                    m, jnp.full((n,), light.is_delta, bool), ls_delta
-                )
-
-            bxdf_delta = bxdf_mod.is_delta(state)
-            do_nee = alive & ls_valid & ~bxdf_delta & (ls_pdf > 0.0)
+            ls = sample_one_light(cscene, p_s, u_sel, u_light, ctx)
+            contrib, do_nee = nee_contribution(cscene, p_s, ns, state, wi, ls, alive)
             n_rays = n_rays + jnp.sum(do_nee.astype(f32))
-            # spawn offset along the normal flipped toward the ray
-            # (interaction.cpp:6-13 face_same_hemisphere)
-            so = offset_ray_origin(p_s, face_forward(ns, ls_wo))
-            occluded = cscene.any_hit(so, ls_wo, jnp.zeros((n,), f32), ls_dist * (1.0 - 1e-3))
-            wo_l = to_local(ns, ls_wo)
-            f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
-            cosine = jnp.abs(dot(ls_wo, ns))
-            mis_l = jnp.where(ls_delta, 1.0, balance_heuristic(ls_pdf, pdf_l))
-            nee_contrib = beta * ls_le * f_l * (cosine / jnp.maximum(ls_pdf, 1e-20) * mis_l)[:, None]
-            if cscene.media:
-                nee_contrib = nee_contrib * cscene.transmittance(so, ls_wo, ls_dist)
-            L_indirect = L_indirect + jnp.where(
-                (do_nee & ~occluded)[:, None], nee_contrib, 0.0
-            )
+            L_indirect = L_indirect + beta * contrib
 
         # ---- BSDF sampling & continuation (path.cpp:114-120) ----
         u_wm = sampler.u2(xs, ys, sample_index, dim + 5)

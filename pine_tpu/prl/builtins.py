@@ -748,7 +748,7 @@ def make_registry(interp):
         return RandomWalkIntegrator(sampler, int(max_len))
 
     @register("CachedPathIntegrator")
-    def _cached(sampler, max_len, resolution=32, starting_depth=1):
+    def _cached(sampler, max_len, resolution=128, starting_depth=1):
         from pine_tpu.integrators.cachedpath import CachedPathIntegrator
 
         return CachedPathIntegrator(sampler, int(max_len), int(resolution), int(starting_depth))
@@ -760,10 +760,12 @@ def make_registry(interp):
         return GuidedPathIntegrator(sampler, int(max_len))
 
     @register("MltIntegrator")
-    def _mlt(sampler, max_len):
+    def _mlt(avg_spp, max_len):
+        # PRL signature is MltIntegrator(spp: int, max_path_length)
+        # (program_context.cpp:103-106) — no sampler argument
         from pine_tpu.integrators.mlt import MltIntegrator
 
-        return MltIntegrator(sampler, int(max_len))
+        return MltIntegrator(int(avg_spp), int(max_len))
 
     @register("RestirIntegrator")
     def _restir(sampler, max_len):

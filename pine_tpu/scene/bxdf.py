@@ -118,24 +118,26 @@ def sample(state, wi, u2, u1, u2b):
     )
     f_g_sr = albedo * (fr_diel / jnp.maximum(sc.abs_cos_theta(wo_mirror), EPS))[..., None]
     f_g_st = albedo * ((1.0 - fr_diel) / jnp.maximum(sc.abs_cos_theta(wt_s), EPS))[..., None]
-    # rough case
+    # rough case.  The f/pdf ratio is bounded in exact arithmetic
+    # (bxdf.cpp:192-193); guard the SAME denom in both so the ratio can't
+    # explode near the TIR boundary (a mismatched epsilon here produced 1e6+
+    # throughputs at grazing transmission).
     ok_tm, wt_m, eta_m = sc.refract(wi, wm, ior)
     denom = jnp.square(dot(wt_m, wm) + dot(wi, wm) / eta_m)
+    denom_s = jnp.maximum(denom, 1e-6)
+    cos_prod = jnp.maximum(jnp.abs(sc.cos_theta(wi) * sc.cos_theta(wt_m)), 1e-4)
     pdf_gt = (
         (1.0 - fr_diel)
         * sc.ggx_pdf(alpha_s, wi, wm)
         * jnp.abs(dot(wt_m, wm))
-        / jnp.maximum(denom, EPS)
+        / denom_s
     )
     f_gt = albedo * (
         (1.0 - fr_diel)
         * sc.ggx_d(alpha_s, wm)
         * sc.ggx_g(alpha_s, wi, wt_m)
-        * jnp.abs(
-            dot(wt_m, wm)
-            * dot(wi, wm)
-            / jnp.maximum(denom * sc.cos_theta(wi) * sc.cos_theta(wt_m), EPS)
-        )
+        * jnp.abs(dot(wt_m, wm) * dot(wi, wm))
+        / (denom_s * cos_prod)
     )[..., None]
     wo_g = _sel(
         choose_reflect,

@@ -1,0 +1,177 @@
+"""Tests for the non-facade integrators (VERDICT r1 items 4-6): each one must
+run its REAL algorithm and agree with plain path tracing in expectation."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pine_tpu.core.camera import ThinLenCamera
+from pine_tpu.core.film import Film
+from pine_tpu.core.samplers import BlueSampler, UniformSampler
+from pine_tpu.integrators.path import render_wavefront
+from pine_tpu.scene import materials as M
+from pine_tpu.scene import shapes as S
+from pine_tpu.scene.scene import Scene
+
+
+def tame_cbox(res=32):
+    """Cbox with a large dim light: the path-level firefly clamp never binds,
+    so unclamped estimators (guided/MLT) agree with plain path."""
+    sc = Scene()
+    sc.add("w", M.Diffuse([0.8, 0.8, 0.8]))
+    sc.add(S.Rect([0, 0, 1], [2, 0, 0], [0, 0, 2]), "w")
+    sc.add(S.Rect([0, 2, 1], [2, 0, 0], [0, 0, 2]), "w")
+    sc.add(S.Rect([-1, 1, 1], [0, 0, 2], [0, 2, 0]), M.Diffuse([0.8, 0.2, 0.2]))
+    sc.add(S.Rect([1, 1, 1], [0, 0, 2], [0, 2, 0]), M.Diffuse([0.2, 0.8, 0.2]))
+    sc.add(S.Rect([0, 1, 2], [2, 0, 0], [0, 2, 0]), "w")
+    sc.add(S.Sphere([0.3, 0.5, 1.0], 0.5), "w")
+    sc.add(S.Rect([0, 1.99, 1], [1.2, 0, 0], [0, 0, 1.2]), M.Emissive([4.0, 4.0, 4.0]))
+    sc.set(ThinLenCamera(Film([res, res], "uncharted2"), [0, 1, -3.5], [0, 1, 0], 0.3))
+    return sc
+
+
+@pytest.fixture(scope="module")
+def tame():
+    scene = tame_cbox(32)
+    cscene = scene.compile()
+    ref = np.asarray(
+        render_wavefront(cscene, scene.camera, 32, 32, UniformSampler(192), 192, 4)
+    )
+    return scene, cscene, ref
+
+
+def test_cachedpath_real(tame):
+    from pine_tpu.integrators.cachedpath import render_cached
+
+    scene, cscene, ref = tame
+    img = np.asarray(
+        render_cached(cscene, scene.camera, 32, 32, UniformSampler(32), 32, 4, 32, 1)
+    )
+    assert np.isfinite(img).all()
+    # biased (empty cells -> 0) but must be close; a facade falling back to
+    # plain PT would match exactly, so also check the cache actually engaged
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.25, rel
+
+
+def test_cachedpath_learns_flux(tame):
+    """The spatial grid must receive flux during learning."""
+    import jax.numpy as jnp
+
+    from pine_tpu.core.capture import bind, collect_device_arrays
+    from pine_tpu.integrators.cachedpath import SpatialGrid, _trace_recorded
+
+    scene, cscene, ref = tame
+    lo, hi = cscene.scene.get_aabb()
+    grid = SpatialGrid(lo, hi, 16)
+    sampler = UniformSampler(4)
+    cam_params = scene.camera.params()
+    n = 32 * 32
+    ys, xs = np.divmod(np.arange(n, dtype=np.int64), 32)
+    recs = _trace_recorded(
+        cscene, cam_params, jnp.asarray(xs, jnp.int32), jnp.asarray(ys, jnp.int32),
+        32, 32, sampler, 0, 4, grid,
+    )
+    assert bool(np.asarray(recs["valid"][0]).any())
+    assert float(np.asarray(recs["nee"][0]).sum()) > 0.0
+
+
+def test_guidedpath_unbiased_tame(tame):
+    from pine_tpu.integrators.guidedpath import render_guided
+
+    scene, cscene, ref = tame
+    img = np.asarray(
+        render_guided(cscene, scene.camera, 32, 32, UniformSampler(24), 24, 4, 16)
+    )
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.12, rel
+
+
+def test_guided_histogram_sampling_consistent():
+    """guide.sample's pdf must match guide.pdf at the sampled direction."""
+    import jax.numpy as jnp
+
+    from pine_tpu.integrators.cachedpath import SpatialGrid
+    from pine_tpu.integrators.guidedpath import DIR_RES, DirectionalGuide
+
+    rng = np.random.default_rng(3)
+    guide = DirectionalGuide(SpatialGrid([0, 0, 0], [1, 1, 1], 2))
+    n = 512
+    hist = jnp.asarray(rng.random((n, DIR_RES * DIR_RES)).astype(np.float32) ** 8)
+    u2 = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    ud = jnp.asarray(rng.random(n).astype(np.float32))
+    wo, pdf, valid = guide.sample(hist, u2, ud)
+    pdf2 = guide.pdf(hist, wo)
+    assert np.allclose(np.asarray(pdf), np.asarray(pdf2), rtol=1e-4)
+    assert bool(np.asarray(valid).all())
+    # unit directions
+    assert np.allclose(np.linalg.norm(np.asarray(wo), axis=1), 1.0, atol=1e-4)
+
+
+def test_guidedpath_variance_parity(tame):
+    """Guided one-sample MIS must not blow up variance vs plain path (the
+    round-2 build found 7x and 1500x regressions from blending weights and an
+    epsilon mismatch in rough-transmission f/pdf; this pins the fix)."""
+    from pine_tpu.integrators.guidedpath import render_guided
+
+    scene, cscene, ref = tame
+    g = np.asarray(
+        render_guided(cscene, scene.camera, 32, 32, UniformSampler(16, seed=5), 16, 4, 16)
+    )
+    p = np.asarray(
+        render_wavefront(cscene, scene.camera, 32, 32, UniformSampler(16, seed=5), 16, 4)
+    )
+    g_mse = float(np.mean((g - ref) ** 2))
+    p_mse = float(np.mean((p - ref) ** 2))
+    assert g_mse < 3.0 * p_mse + 1e-6, (g_mse, p_mse)
+
+
+def test_mlt_matches_path_tame(tame):
+    from pine_tpu.integrators.mlt import render_mlt
+
+    scene, cscene, ref = tame
+    img = np.asarray(
+        render_mlt(cscene, scene.camera, 32, 32, 12, 4, n_chains=1024)
+    )
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.15, rel
+
+
+def test_mlt_acceptance_math():
+    import jax.numpy as jnp
+
+    from pine_tpu.integrators.mlt import accept_prob
+
+    a = accept_prob(jnp.asarray([2.0, 0.5, 0.0, 1.0]), jnp.asarray([1.0, 1.0, 1.0, 0.0]))
+    assert np.allclose(np.asarray(a), [1.0, 0.5, 0.0, 1.0])
+
+
+def test_mlt_mutation_stays_in_unit_cube():
+    import jax.numpy as jnp
+
+    from pine_tpu.integrators.mlt import mutate
+
+    X = jnp.asarray(np.random.default_rng(0).random((64, 20)).astype(np.float32))
+    ids = jnp.arange(64, dtype=jnp.uint32)
+    Xn, large = mutate(X, ids, 3)
+    Xn = np.asarray(Xn)
+    assert ((Xn >= 0.0) & (Xn < 1.0)).all()
+    # small steps stay near the original
+    small = ~np.asarray(large)
+    d = np.abs(Xn[small] - np.asarray(X)[small])
+    d = np.minimum(d, 1.0 - d)  # torus distance
+    assert d.mean() < 0.05
+
+
+def test_vol_integrator_closed_form():
+    from pine_tpu.integrators.vol import VolIntegrator
+
+    sc = Scene()
+    sc.add(S.Sphere([0, 0, 100], 0.01), M.Diffuse([1, 1, 1]))  # placate compile
+    sc.set(ThinLenCamera(Film([16, 16], "uncharted2"), [0, 1, -4], [0, 1, 4], 0.5))
+    film = VolIntegrator(UniformSampler(1)).render(sc)
+    img = film.pixels[..., :3]
+    assert np.isfinite(img).all()
+    assert img.max() > img.min() >= 0.0
