@@ -262,6 +262,80 @@ def nee_contribution(cscene, p_s, ns, state, wi, ls, alive):
     return contrib, do_nee
 
 
+def bssrdf_walk(cscene, state, p_s, ns, wi_world, xs, ys, sampler, sample_index,
+                dim_base, steps=8):
+    """Random-walk subsurface exit-point search (bxdf.cpp:329-352).
+
+    For lanes whose sampled lobe is BSSRDF: refract into the surface, pick a
+    color channel (beta = 3*e_c, unbiased channel estimator), walk with
+    exponential steps 1/sigma_s[c] and uniform-sphere scattering until the
+    walk crosses the boundary; the vertex then moves to the exit point.
+
+    Deviations: the reference intersects only the owning shape — we intersect
+    the full scene (equivalent while the walk stays inside the shape); the
+    reference's unbounded loop is bounded at `steps` (unfinished walks fall
+    back to the entry point, like the reference's nullopt on a miss).
+    Returns (p, n, wi_world, beta_multiplier).
+    """
+    from pine_tpu.core.sampling import uniform_sphere
+    from pine_tpu.core.scattering import refract
+    from pine_tpu.scene.materials import BX_BSSRDF
+
+    n = p_s.shape[0]
+    f32 = jnp.float32
+    is_sss = state["tag"] == BX_BSSRDF
+
+    wi_local = to_local(ns, wi_world)
+    ok_r, wt, _ = refract(
+        wi_local, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], f32), wi_local.shape),
+        state["ior"],
+    )
+    w = to_world(ns, wt)  # into the surface
+    active = is_sss & ok_r
+
+    u_c = sampler.u1(xs, ys, sample_index, dim_base)
+    chan = jnp.clip((u_c * 3).astype(jnp.int32), 0, 2)
+    beta_mask = 3.0 * (jnp.arange(3)[None, :] == chan[:, None]).astype(f32)
+    sig = jnp.take_along_axis(state["sigma_s"], chan[:, None], axis=1)[:, 0]
+    sigma_t_inv = 1.0 / jnp.maximum(sig, 1e-6)
+
+    p = offset_ray_origin(p_s, face_forward(ns, w))
+    exit_p = p_s
+    exit_n = ns
+    exit_wi = wi_world
+    exited = jnp.zeros((n,), bool)
+
+    for i in range(steps):
+        t_surf, gidx, hit, mesh_tri = cscene.intersect(
+            p, w, jnp.full((n,), 1e-4, f32), jnp.full((n,), FLOAT_MAX, f32)
+        )
+        u_t = sampler.u1(xs, ys, sample_index, dim_base + 1 + 3 * i)
+        u_dir = sampler.u2(xs, ys, sample_index, dim_base + 2 + 3 * i)
+        t_med = -jnp.log(jnp.maximum(1.0 - u_t, 1e-7)) * sigma_t_inv
+        t_hit = jnp.where(hit, t_surf, 1.0)
+        hp = p + t_hit[:, None] * w
+        pc, nn, _ = cscene.surface_info(gidx, hp, mesh_tri)
+        exit_now = active & ~exited & hit & (t_surf < t_med)
+        exit_p = jnp.where(exit_now[:, None], pc, exit_p)
+        exit_n = jnp.where(exit_now[:, None], nn, exit_n)
+        exit_wi = jnp.where(exit_now[:, None], -w, exit_wi)
+        exited = exited | exit_now
+        # continue the walk from the tentative medium point
+        cont = active & ~exited & hit
+        p = jnp.where(cont[:, None], p + t_med[:, None] * w, p)
+        w = jnp.where(cont[:, None], uniform_sphere(u_dir), w)
+        active = cont | exited
+
+    moved = exited
+    beta_mult = jnp.where(moved[:, None], beta_mask, 1.0)
+    return (
+        jnp.where(moved[:, None], exit_p, p_s),
+        jnp.where(moved[:, None], exit_n, ns),
+        jnp.where(moved[:, None], exit_wi, wi_world),
+        beta_mult,
+    )
+
+
 def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, max_depth, nee=True, return_stats=False):
     """One sample per pixel through the full wavefront depth loop -> (N,3).
 
@@ -364,6 +438,15 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             MIN_ROUGHNESS,
             diffused,
         )
+        # subsurface random walk moves the vertex to the exit point
+        # (bxdf.cpp:329-352 sample_p, invoked at path.cpp:95)
+        if getattr(cscene, "has_subsurface", False):
+            p_s, ns, wi_world, sss_mult = bssrdf_walk(
+                cscene, state, p_s, ns, wi_world, xs, ys, sampler, sample_index,
+                4 + max_depth * 16 + depth * 32,
+            )
+            beta = beta * sss_mult
+            ctx = dict(p=p_s, n=ns, uv=uv)
         wi = to_local(ns, wi_world)
 
         # ---- NEE (path.cpp:98-113) ----

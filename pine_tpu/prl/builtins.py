@@ -635,6 +635,11 @@ def make_registry(interp):
 
         return mesh_from_glb(filename)
 
+    @register("Instancing")
+    def _instancing(mesh):
+        # geometry.cpp:941-946: Instancing(Mesh) + .add(mat4, Material)
+        return S.InstancedShape(mesh)
+
     # ---- lights (light.cpp:174-186) ----------------------------------------
     reg["PointLight"] = lambda p, c: L.PointLight(_data(to_float_vec(p)), _data(to_float_vec(c)))
     reg["SpotLight"] = lambda p, d, c, falloff, cutoff=0.0: L.SpotLight(

@@ -26,6 +26,7 @@ def eval_bxdf_state(cscene, mat_idx, ctx, wi_world, u_a, u_b, min_roughness, dif
     albedo = jnp.zeros((n_l, 3), jnp.float32)
     roughness = jnp.zeros((n_l,), jnp.float32)
     ior = jnp.full((n_l,), 1.4, jnp.float32)
+    sigma_s = jnp.zeros((n_l, 3), jnp.float32)
     minr = jnp.where(diffused, min_roughness, 0.0)
 
     for slot, mat in enumerate(cscene.materials):
@@ -88,7 +89,10 @@ def eval_bxdf_state(cscene, mat_idx, ctx, wi_world, u_a, u_b, min_roughness, dif
             albedo = jnp.where(m3, alb, albedo)
             roughness = jnp.where(m & (u_a < fr), r, roughness)
             ior = jnp.where(m, mat.ior, ior)
+            sigma_s = jnp.where(
+                m3, jnp.asarray(mat.sigma_s, jnp.float32)[None, :], sigma_s
+            )
         else:
             raise ValueError(f"unknown material tag {mat.tag}")
 
-    return dict(tag=tag, albedo=albedo, roughness=roughness, ior=ior)
+    return dict(tag=tag, albedo=albedo, roughness=roughness, ior=ior, sigma_s=sigma_s)

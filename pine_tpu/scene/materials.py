@@ -97,8 +97,9 @@ class Subsurface(Material):
     def __init__(self, albedo, roughness, sigma_s):
         self.albedo = N._as_node(albedo)
         self.roughness = N._as_node(roughness)
-        self.sigma_s = np.asarray(
+        sig = np.asarray(
             N.constant_value(sigma_s) if not isinstance(sigma_s, N.Node) else sigma_s.value,
             np.float32,
-        ).reshape(3)
+        ).reshape(-1)
+        self.sigma_s = np.broadcast_to(sig, (3,)).astype(np.float32).copy()
         self.ior = 1.4

@@ -59,6 +59,11 @@ class Scene:
         if len(args) == 2:
             return self.add_geometry(args[0], args[1])
         (x,) = args
+        if isinstance(x, S.InstancedShape):
+            # realize instances at compile time (scene.cpp add(Instancing))
+            for m, mat in x.instances:
+                self.add_geometry(x.shape.transformed(m), mat)
+            return x
         if isinstance(x, L.Light):
             self.lights.append(x)
             self._compiled = None
@@ -176,6 +181,9 @@ class CompiledScene:
 
         # participating media (homogeneous only for now; VDB later)
         self.media = list(scene.mediums)
+        self.has_subsurface = any(
+            getattr(m, "tag", None) == M.SUBSURFACE for m in mat_slots
+        )
 
         # light list = scene lights + area lights + env light (lightsampler.cpp:6-10)
         self.lights = list(scene.lights) + area_lights

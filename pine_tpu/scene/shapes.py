@@ -433,6 +433,16 @@ class Mesh(Shape):
             self.texcoords = None
         return self
 
+    def transformed(self, m):
+        """A transformed copy (instancing support, geometry.h:371-390)."""
+        out = Mesh(
+            self.vertices.copy(), self.indices.copy(),
+            None if self.texcoords is None else self.texcoords.copy(),
+            None if self.normals is None else self.normals.copy(),
+        )
+        return out.apply(m)
+
+
     def get_aabb(self):
         return self.vertices.min(0), self.vertices.max(0)
 
@@ -452,6 +462,28 @@ class Mesh(Shape):
         e1 = v[f[:, 1]] - v[f[:, 0]]
         e2 = v[f[:, 2]] - v[f[:, 0]]
         return np.linalg.norm(np.cross(e1, e2), axis=-1) / 2
+
+
+class InstancedShape:
+    """Mesh instancing (geometry.h:371-390; PRL name ``Instancing``,
+    geometry.cpp:941-946): one mesh plus per-instance (transform, material).
+
+    The TPU accel realizes instances at scene-compile time: every instance's
+    triangles enter the single unified triangle group (per-instance transform
+    baked, per-instance material kept), so the packet/Pallas BVH covers all
+    instances in one tree — the flattened form of the reference's two-level
+    Embree scheme (bvh.cpp:453-548).  Geometry memory scales with instance
+    count; a lazy local-space two-level traversal is a future optimization."""
+
+    def __init__(self, mesh):
+        self.shape = mesh
+        self.instances = []
+
+    def add(self, transform, material):
+        # accept PRL matrix wrappers transparently
+        transform = getattr(transform, "data", transform)
+        self.instances.append((np.asarray(transform, np.float32), material))
+        return self
 
 
 def heightmap_from_array(height_map):

@@ -175,3 +175,31 @@ def test_vol_integrator_closed_form():
     img = film.pixels[..., :3]
     assert np.isfinite(img).all()
     assert img.max() > img.min() >= 0.0
+
+
+def test_bssrdf_random_walk_translucency():
+    """BSSRDF random walk (bxdf.cpp:329-352): a back-lit sphere transmits
+    more light when the scattering coefficient is lower; a dense medium is
+    opaque from the front.  Round 1's cosine-lobe facade ignored sigma_s
+    entirely and would show NO dependence."""
+    from pine_tpu.scene import lights as L
+
+    def build(sigma):
+        sc = Scene()
+        sc.add(S.Plane([0, -1, 0], [0, 1, 0]), M.Diffuse([0.8, 0.8, 0.8]))
+        sc.add(S.Sphere([0, 0, 0], 1.0), M.Subsurface([0.9, 0.6, 0.5], 0.0, sigma))
+        sc.add(L.PointLight(np.asarray([0, 0.0, 2.5]), np.asarray([60.0, 60.0, 60.0])))
+        sc.set(ThinLenCamera(Film([32, 32], "uncharted2"), [0, 0, -4], [0, 0, 0], 0.4))
+        return sc
+
+    centers = {}
+    for sigma in (40.0, 3.0):
+        sc = build(sigma)
+        cs = sc.compile()
+        assert cs.has_subsurface
+        img = np.asarray(
+            render_wavefront(cs, sc.camera, 32, 32, UniformSampler(16), 16, 4)
+        )
+        assert np.isfinite(img).all()
+        centers[sigma] = float(img[12:20, 12:20].mean())
+    assert centers[3.0] > 5 * centers[40.0], centers

@@ -73,3 +73,40 @@ scene.camera.film().save("OUT");
     img = np.asarray(Image.open(out))
     assert img.shape == (24, 24, 3)
     assert img.mean() > 1.0
+
+
+def test_instancing_two_level():
+    """Instancing (geometry.h:371-390): one mesh, two instances with distinct
+    transforms and materials renders both with correct colors."""
+    import jax.numpy as jnp
+
+    from pine_tpu.core.camera import ThinLenCamera
+    from pine_tpu.core.film import Film
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.core.vecmath import scale, translate
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.scene import lights as L
+    from pine_tpu.scene import materials as M
+    from pine_tpu.scene import shapes as S
+    from pine_tpu.scene.scene import Scene
+
+    # a simple quad mesh (2 triangles)
+    mesh = S.Mesh(
+        [[-1, 0, 0], [1, 0, 0], [1, 2, 0], [-1, 2, 0]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    inst = S.InstancedShape(mesh)
+    inst.add(translate([-1.2, 0, 0]) @ scale([0.8, 0.8, 1.0]), M.Diffuse([0.9, 0.1, 0.1]))
+    inst.add(translate([1.2, 0, 0]) @ scale([0.8, 0.8, 1.0]), M.Diffuse([0.1, 0.9, 0.1]))
+    sc = Scene()
+    sc.add(inst)
+    sc.add(L.DirectionalLight(np.asarray([0, 0.3, -1.0]), np.asarray([3.0, 3.0, 3.0])))
+    sc.set(ThinLenCamera(Film([32, 32], "uncharted2"), [0, 1, -4], [0, 1, 0], 0.5))
+    cscene = sc.compile()
+    assert len(sc.geometries) == 2
+    img = np.asarray(render_wavefront(cscene, sc.camera, 32, 32, UniformSampler(4), 4, 2))
+    assert np.isfinite(img).all()
+    left = img[:, :14].mean(axis=(0, 1))
+    right = img[:, 18:].mean(axis=(0, 1))
+    assert left[0] > 2 * left[1], left    # left instance is red
+    assert right[1] > 2 * right[0], right  # right instance is green
