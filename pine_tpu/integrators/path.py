@@ -384,6 +384,64 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         if cscene.media:
             beta = beta * cscene.transmittance(ro, rd, jnp.where(hitm, t, 1e8))
 
+        # ---- grid media: delta-tracked real scattering with phase-sampled
+        # continuation (medium.cpp:204-251 + mlt.cpp:118-141).  A scattering
+        # lane becomes a medium vertex this depth: NEE from the scatter point
+        # plus a phase-sampled bounce; pass-through lanes already carry the
+        # stochastic transmittance.
+        med_scatter = jnp.zeros((n,), bool)
+        med_ro, med_rd = ro, rd
+        med_pdf = jnp.zeros((n,), f32)
+        if getattr(cscene, "grid_media", None) and depth + 1 < max_depth:
+            from pine_tpu.core.sampling import uniform_sphere as _usph
+            from pine_tpu.core import rng as _rng
+            from pine_tpu.scene.media_track import grid_sample_scatter
+
+            seg_limit = jnp.where(hitm, t, jnp.full((n,), FLOAT_MAX, f32))
+            key = _rng.hash_combine(
+                xs.astype(jnp.uint32), ys.astype(jnp.uint32),
+                jnp.uint32(sample_index), jnp.uint32(7000 + depth),
+            )
+            for gi, med in enumerate(cscene.grid_media):
+                sc_m, ts_m, w_m, abs_m = grid_sample_scatter(
+                    med, ro, rd, seg_limit, key + jnp.uint32(gi)
+                )
+                sc_m = sc_m & alive
+                abs_m = abs_m & alive
+                alive = alive & ~abs_m
+                p_m = ro + ts_m[:, None] * rd
+                if n_lights > 0:
+                    u_sel = sampler.u1(xs, ys, sample_index, dim + 12)
+                    u_l2 = sampler.u2(xs, ys, sample_index, dim + 13)
+                    mctx = dict(p=p_m, n=rd, uv=jnp.zeros((n, 2), f32))
+                    ls = sample_one_light(cscene, p_m, u_sel, u_l2, mctx)
+                    occ = cscene.any_hit(
+                        p_m, ls["wo"], jnp.full((n,), 1e-4, f32),
+                        ls["distance"] * (1.0 - 1e-3),
+                    )
+                    tr_l = cscene.transmittance(p_m, ls["wo"], ls["distance"])
+                    cos_m = jnp.sum(-rd * ls["wo"], -1)
+                    f_p = med.pf.p(cos_m)
+                    mis_m = jnp.where(
+                        ls["is_delta"], 1.0,
+                        balance_heuristic(ls["pdf"], f_p),
+                    )
+                    contrib = (
+                        beta * w_m * ls["le"] * tr_l
+                        * (f_p * mis_m / jnp.maximum(ls["pdf"], 1e-20))[:, None]
+                    )
+                    ok_m = sc_m & ls["valid"] & ~occ
+                    L_indirect = L_indirect + jnp.where(ok_m[:, None], contrib, 0.0)
+                # phase-sampled continuation replaces the surface bounce;
+                # stash it and apply at the end of the depth iteration
+                u_ph = sampler.u2(xs, ys, sample_index, dim + 10)
+                wo_m, pdf_m = med.pf.sample(-rd, u_ph)
+                med_ro = jnp.where(sc_m[:, None], p_m, ro)
+                med_rd = jnp.where(sc_m[:, None], wo_m, rd)
+                med_pdf = jnp.where(sc_m, pdf_m, jnp.zeros((n,), f32))
+                beta = jnp.where(sc_m[:, None], beta * w_m, beta)
+                med_scatter = med_scatter | sc_m
+
         # ---- escaped rays: environment light (path.cpp:75-81) ----
         if cscene.env_light is not None:
             le_env = cscene.env_light.color(rd)
@@ -393,7 +451,7 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
                 balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
             )
             contrib = beta * le_env * mis[:, None]
-            m = (alive & ~hitm)[:, None]
+            m = (alive & ~hitm & ~med_scatter)[:, None]
             if depth == 0:
                 L_direct = L_direct + jnp.where(m, contrib, 0.0)
             else:
@@ -409,7 +467,7 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         wi_world = -rd
 
         # ---- emissive hit (path.cpp:83-87) ----
-        emis = cscene.is_emissive_lane(gidx) & hitm
+        emis = cscene.is_emissive_lane(gidx) & hitm & ~med_scatter
         if cscene.emissive_globals:
             le = cscene.emissive_le(gidx, ctx, wi_world)
             light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
@@ -421,7 +479,8 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             else:
                 L_indirect = L_indirect + jnp.where(m, contrib, 0.0)
 
-        alive = hitm & ~emis
+        alive = (hitm & ~emis & ~med_scatter) | med_scatter
+        surf = alive & ~med_scatter
         if depth + 1 >= max_depth:
             break
 
@@ -454,7 +513,7 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
             u_light = sampler.u2(xs, ys, sample_index, dim + 1)
             ls = sample_one_light(cscene, p_s, u_sel, u_light, ctx)
-            contrib, do_nee = nee_contribution(cscene, p_s, ns, state, wi, ls, alive)
+            contrib, do_nee = nee_contribution(cscene, p_s, ns, state, wi, ls, surf)
             n_rays = n_rays + jnp.sum(do_nee.astype(f32))
             L_indirect = L_indirect + beta * contrib
 
@@ -466,14 +525,21 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         wo_world = to_world(ns, bs["wo"])
         cosine = jnp.abs(dot(wo_world, ns))
         thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
-        alive = alive & bs["valid"]
-        beta = jnp.where(alive[:, None], beta * thr, beta)
-        prev_pdf = bs["pdf"]
-        prev_delta = bs["is_delta_sample"]
-        diffused = diffused | (alive & ~bs["is_delta_sample"])
-        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
-        rd = wo_world
-        tmin = jnp.zeros((n,), f32)
+        surf = surf & bs["valid"]
+        alive = surf | med_scatter
+        beta = jnp.where(surf[:, None], beta * thr, beta)
+        prev_pdf = jnp.where(med_scatter, med_pdf, bs["pdf"])
+        prev_delta = jnp.where(med_scatter, False, bs["is_delta_sample"])
+        diffused = diffused | (surf & ~bs["is_delta_sample"])
+        ro_surf = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        if getattr(cscene, "grid_media", None):
+            ro = jnp.where(med_scatter[:, None], med_ro, ro_surf)
+            rd = jnp.where(med_scatter[:, None], med_rd, wo_world)
+            tmin = jnp.where(med_scatter, 1e-4, 0.0)
+        else:
+            ro = ro_surf
+            rd = wo_world
+            tmin = jnp.zeros((n,), f32)
 
     L = L_direct + jnp.minimum(L_indirect, CLAMP)
     if return_stats:

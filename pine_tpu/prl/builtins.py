@@ -695,10 +695,16 @@ def make_registry(interp):
         )
 
     @register("VDBMedium")
-    def _vdbmedium(*a):
+    def _vdbmedium(filename, transform, pf, sigma_a, sigma_s, *rest):
+        # medium.cpp:152: VDBMedium(file, transform, pf, sigma_a, sigma_s
+        #                           [, blackbody_intensity, temperature_scale])
         from pine_tpu.scene.media import VDBMedium
 
-        return VDBMedium(*a)
+        return VDBMedium(
+            str(filename), _data(transform) if hasattr(transform, "data") else transform,
+            pf, _data(to_float_vec(sigma_a)), _data(to_float_vec(sigma_s)),
+            *[float(r) for r in rest],
+        )
 
     # ---- camera / film (camera.cpp:40-45, film.cpp:97-120) -----------------
     reg["Uncharted2"] = lambda: "uncharted2"

@@ -68,9 +68,9 @@ class Scene:
             self.lights.append(x)
             self._compiled = None
             return x
-        from pine_tpu.scene.media import HomogeneousMedium, VDBMedium
+        from pine_tpu.scene.media import GridMedium, HomogeneousMedium
 
-        if isinstance(x, (HomogeneousMedium, VDBMedium)):
+        if isinstance(x, (HomogeneousMedium, GridMedium)):
             self.mediums.append(x)
             self._compiled = None
             return x
@@ -179,8 +179,12 @@ class CompiledScene:
         self.g_local_dev = jnp.asarray(self.g_local)
         self.g_mat_dev = jnp.asarray(self.g_mat)
 
-        # participating media (homogeneous only for now; VDB later)
-        self.media = list(scene.mediums)
+        # participating media: homogeneous (analytic transmittance) vs grid
+        # (delta/ratio tracking, medium.cpp:90-290)
+        from pine_tpu.scene.media import GridMedium
+
+        self.media = [m for m in scene.mediums if not isinstance(m, GridMedium)]
+        self.grid_media = [m for m in scene.mediums if isinstance(m, GridMedium)]
         self.has_subsurface = any(
             getattr(m, "tag", None) == M.SUBSURFACE for m in mat_slots
         )
@@ -334,21 +338,30 @@ class CompiledScene:
             pdf = jnp.where(gidx == g, p_t, pdf)
         return pdf / n_lights
 
-    def transmittance(self, ro, rd, tmax):
-        """Chromatic transmittance along [0,tmax] through all homogeneous
-        media (integrator.cpp:75-81; medium.cpp analytic inside/outside)."""
+    def transmittance(self, ro, rd, tmax, key=None):
+        """Chromatic transmittance along [0,tmax]: analytic for homogeneous
+        media (integrator.cpp:75-81), ratio-tracked for grid media
+        (medium.cpp:264-290).  `key` (N,) uint32 seeds the tracking; when
+        omitted it derives from the ray-origin bits (origins are jittered per
+        sample, so estimates decorrelate across samples)."""
         n = ro.shape[0]
         tr = jnp.ones((n, 3), jnp.float32)
-        if not self.media:
-            return tr
-        from pine_tpu.scene.csg_intersect import intervals_of
+        if self.media:
+            from pine_tpu.scene.csg_intersect import intervals_of
 
-        for med in self.media:
-            s, e = intervals_of(med.shape, ro, rd)
-            lo = jnp.clip(s, 0.0, tmax[:, None])
-            hi = jnp.clip(e, 0.0, tmax[:, None])
-            overlap = jnp.sum(jnp.maximum(hi - lo, 0.0), axis=1)
-            tr = tr * jnp.exp(-jnp.asarray(med.sigma_t) * overlap[:, None])
+            for med in self.media:
+                s, e = intervals_of(med.shape, ro, rd)
+                lo = jnp.clip(s, 0.0, tmax[:, None])
+                hi = jnp.clip(e, 0.0, tmax[:, None])
+                overlap = jnp.sum(jnp.maximum(hi - lo, 0.0), axis=1)
+                tr = tr * jnp.exp(-jnp.asarray(med.sigma_t) * overlap[:, None])
+        if self.grid_media:
+            from pine_tpu.scene.media_track import grid_transmittance, ray_key
+
+            if key is None:
+                key = ray_key(ro, rd)
+            for gi, med in enumerate(self.grid_media):
+                tr = tr * grid_transmittance(med, ro, rd, tmax, key + jnp.uint32(gi))
         return tr
 
     def is_emissive_lane(self, gidx):
