@@ -209,30 +209,73 @@ class SobolSampler:
         )
 
 
-class BlueSampler(SobolSampler):
-    """Blue-noise-dithered Sobol stand-in for the reference's BlueSobolSampler
-    (sampler.cpp:110-187 + contrib/bluesobol tables).
+def _roundup2(x):
+    n = 1
+    while n < x:
+        n *= 2
+    return n
 
-    Uses Owen seeds derived from a tiled blue-noise mask so neighboring pixels
-    get decorrelated-but-stratified sequences; same API and statistics, not
-    bit-identical to the Heitz-Belcour tables.
+
+def _load_bluesobol(spp):
+    path = os.path.join(_ASSET_DIR, f"bluesobol_{spp}spp.npz")
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    return (
+        d["sobol"].astype(np.int32),
+        d["ranking"].astype(np.int32),
+        d["scrambling"].astype(np.int32),
+    )
+
+
+class BlueSampler(SobolSampler):
+    """The reference's BlueSobolSampler with the exact Heitz-Belcour tables
+    (sampler.cpp:110-143 dispatch; data from contrib/bluesobol converted to
+    binary assets per SURVEY §7).  Bit-identical to bluenoise_<spp>spp():
+
+        ranked = index ^ rankingTile[(dim + (i + j*128)*8) % (128*128*8)]
+        value  = sobol[dim + ranked*256] ^ scramblingTile[dim%8 + (i+j*128)*8]
+        u      = (0.5 + value) / 256
+
+    Falls back to a hash-based Owen-scramble approximation if the table
+    assets are missing.
     """
 
     name = "blue"
 
     def __init__(self, spp, seed=0):
         super().__init__(spp, seed)
-        self._mask = jnp.asarray(_blue_noise_mask(64, seed=1234))
+        spp2 = min(_roundup2(int(spp)), 256)  # sampler.cpp:117-122
+        tables = _load_bluesobol(spp2)
+        if tables is not None:
+            self._bs_sobol = jnp.asarray(tables[0])
+            self._bs_rank = jnp.asarray(tables[1])
+            self._bs_scram = jnp.asarray(tables[2])
+        else:
+            self._bs_sobol = None
+            self._mask = jnp.asarray(_blue_noise_mask(64, seed=1234))
 
     def u1(self, px, py, sample_index, dim):
-        mx = px % self._mask.shape[1]
-        my = py % self._mask.shape[0]
-        rank = self._mask[my, mx]
-        pix_seed = rng.hash_combine(rank, jnp.uint32(self.seed), jnp.uint32(dim))
-        idx = jnp.broadcast_to(jnp.asarray(sample_index, jnp.uint32), px.shape)
-        bits = self._sobol_bits(idx, dim)
-        bits = owen_scramble(bits, pix_seed)
-        return rng.u32_to_uniform(bits)
+        if self._bs_sobol is None:  # approximation fallback
+            mx = px % self._mask.shape[1]
+            my = py % self._mask.shape[0]
+            rank = self._mask[my, mx]
+            pix_seed = rng.hash_combine(rank, jnp.uint32(self.seed), jnp.uint32(dim))
+            idx = jnp.broadcast_to(jnp.asarray(sample_index, jnp.uint32), px.shape)
+            bits = self._sobol_bits(idx, dim)
+            bits = owen_scramble(bits, pix_seed)
+            return rng.u32_to_uniform(bits)
+        d = int(dim) & 255
+        i = px & 127
+        j = py & 127
+        si = jnp.broadcast_to(
+            jnp.asarray(sample_index, jnp.int32) & 255, px.shape
+        )
+        pix8 = (i + j * 128) * 8
+        ranked = si ^ self._bs_rank[(d + pix8) % (128 * 128 * 8)]
+        value = self._bs_sobol[d + ranked * 256]
+        value = value ^ self._bs_scram[(d % 8) + pix8]
+        return (0.5 + value.astype(jnp.float32)) / 256.0
 
 
 _BLUE_CACHE = {}

@@ -177,3 +177,38 @@ def test_sampler_2d_stratification():
     cells = (pts // 0.125).astype(int)
     occupied = len({(a, b) for a, b in cells})
     assert occupied >= 56, f"poor 2D stratification: {occupied}/64 cells"
+
+
+def test_bluesobol_exact_tables():
+    """BlueSampler must be bit-identical to the reference's
+    bluenoise_<spp>spp() (contrib/bluesobol + sampler.cpp:110-143)."""
+    import jax.numpy as jnp
+
+    from pine_tpu.core import samplers as Smod
+
+    s = Smod.BlueSampler(16)
+    assert s._bs_sobol is not None, "bluesobol table assets missing"
+    d = np.load(
+        os.path.join(os.path.dirname(Smod.__file__), "..", "assets", "bluesobol_16spp.npz")
+    )
+    sob = d["sobol"].astype(int)
+    rank = d["ranking"].astype(int)
+    scram = d["scrambling"].astype(int)
+
+    def ref(i, j, idx, dim):
+        i &= 127
+        j &= 127
+        idx &= 255
+        dim &= 255
+        ranked = idx ^ rank[(dim + (i + j * 128) * 8) % (128 * 128 * 8)]
+        v = sob[dim + ranked * 256] ^ scram[(dim % 8) + (i + j * 128) * 8]
+        return (0.5 + v) / 256.0
+
+    px = jnp.asarray(np.arange(64) % 8, jnp.int32)
+    py = jnp.asarray(np.arange(64) // 8, jnp.int32)
+    for dim in (0, 1, 7, 33):
+        ours = np.asarray(s.u1(px, py, 5, dim))
+        want = np.array(
+            [ref(int(x), int(y), 5, dim) for x, y in zip(np.asarray(px), np.asarray(py))]
+        )
+        assert np.allclose(ours, want), dim
