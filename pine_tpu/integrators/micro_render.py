@@ -1,16 +1,233 @@
-"""Point-based GI (MicroRenderGI; parity: impl/integrator/micro_render.cpp).
+"""MicroRenderGI: surfel point-based global illumination
+(parity+: impl/integrator/micro_render.cpp:12-298).
 
-Reference: surfel sampling over scene area, BSphere hierarchy, splat/gather
-push-pull pyramid (micro_render.cpp:12-298).  TPU design: surfels as dense
-arrays, gather via vectorized hierarchy traversal.  Currently renders via the
-wavefront path tracer at equivalent quality settings."""
+The reference is an interactive OpenGL experiment: it area-samples surfels,
+lights them from a HARD-CODED debug point light (micro_render.cpp:9-10),
+builds a BSphere hierarchy and visualizes hemisphere splats for the cursor
+pixel; film output never happens.  This implementation renders to the film:
+
+1. area-weighted surfel sampling over scene geometry (micro_render.cpp:96-97
+   CDF + radius = sqrt(total_area/count)/pi);
+2. direct lighting at surfels with a shadow ray, using the scene's actual
+   lights (first delta light, else the brightest area light's center) with
+   the reference's 1/(0.5+d^2) falloff (micro_render.cpp:124-127);
+3. camera G-buffer pass (position/normal/albedo/direct,
+   micro_render.cpp:193-205);
+4. dense surfel gather per pixel: GI = albedo/pi * sum cd_s * cos_x * cos_s
+   * solid_angle(s) (solid_angle per micro_render.cpp:152-155), chunked to
+   bound memory.  The push-pull occlusion pyramid is not applied (documented
+   deviation; the reference never composes it into a film image either).
+"""
 from __future__ import annotations
 
-from pine_tpu.core.samplers import BlueSampler
-from pine_tpu.integrators.path import PathIntegrator
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pine_tpu.core import camera as camera_mod
+from pine_tpu.core.vecmath import Pi
+from pine_tpu.scene import material_eval
 
 
-class MicroRenderIntegrator(PathIntegrator):
+def _surfel_sample(scene, count, seed=0):
+    """Host-side area-weighted surfel positions/normals/gidx."""
+    rng = np.random.default_rng(seed)
+    areas = []
+    for shape, _ in scene.geometries:
+        try:
+            a = float(shape.area())
+        except Exception:
+            a = 0.0
+        if not np.isfinite(a):
+            a = 0.0
+        areas.append(a)
+    areas = np.asarray(areas)
+    if areas.sum() <= 0:
+        raise RuntimeError("MicroRenderGI: no finite-area geometry")
+    probs = areas / areas.sum()
+    picks = rng.choice(len(areas), size=count, p=probs)
+    P = np.zeros((count, 3), np.float32)
+    N = np.zeros((count, 3), np.float32)
+    G = np.zeros((count,), np.int32)
+    for k, gi in enumerate(picks):
+        shape, _ = scene.geometries[gi]
+        p, n = _sample_on_shape(shape, rng)
+        P[k], N[k], G[k] = p, n, gi
+    return P, N, G, float(areas.sum())
+
+
+def _sample_on_shape(shape, rng):
+    from pine_tpu.scene import shapes as S
+
+    u = rng.random(2).astype(np.float32)
+    if isinstance(shape, S.Rect):
+        p = shape.position + (u[0] - 0.5) * shape.ex * shape.lx + (u[1] - 0.5) * shape.ey * shape.ly
+        return p.astype(np.float32), shape.n.astype(np.float32)
+    if isinstance(shape, S.Sphere):
+        v = rng.normal(size=3).astype(np.float32)
+        v /= max(np.linalg.norm(v), 1e-8)
+        return (shape.c + shape.r * v).astype(np.float32), v
+    if isinstance(shape, S.Disk):
+        r = shape.r * np.sqrt(u[0])
+        phi = 2 * np.pi * u[1]
+        t = np.cross(shape.n, [0.557, 0.707, 0.435])
+        t /= max(np.linalg.norm(t), 1e-8)
+        b = np.cross(shape.n, t)
+        p = shape.position + r * (np.cos(phi) * t + np.sin(phi) * b)
+        return p.astype(np.float32), shape.n.astype(np.float32)
+    if isinstance(shape, S.Mesh):
+        areas = shape.triangle_areas()
+        tri = rng.choice(len(areas), p=areas / areas.sum())
+        f = shape.indices[tri].astype(np.int64)
+        a, b, c = shape.vertices[f[0]], shape.vertices[f[1]], shape.vertices[f[2]]
+        if u.sum() > 1:
+            u = 1 - u
+        p = a + u[0] * (b - a) + u[1] * (c - a)
+        n = np.cross(b - a, c - a)
+        n /= max(np.linalg.norm(n), 1e-8)
+        return p.astype(np.float32), n.astype(np.float32)
+    # fallback: a point on the shape's AABB top face
+    lo, hi = shape.get_aabb()
+    p = np.array(
+        [lo[0] + u[0] * (hi[0] - lo[0]), hi[1], lo[2] + u[1] * (hi[2] - lo[2])],
+        np.float32,
+    )
+    return p, np.array([0, 1, 0], np.float32)
+
+
+def _pick_light(cscene):
+    """(position-or-direction, color, is_directional)."""
+    from pine_tpu.scene import lights as L
+
+    for light in cscene.lights:
+        if isinstance(light, L.PointLight):
+            return np.asarray(light.position, np.float32), np.asarray(light.color, np.float32), False
+        if isinstance(light, L.DirectionalLight):
+            return np.asarray(light.direction, np.float32), np.asarray(light.color, np.float32), True
+    for light in cscene.lights:
+        if isinstance(light, L.AreaLight):
+            lo, hi = light.shape.get_aabb()
+            from pine_tpu.scene import nodes as Nn
+
+            c = np.asarray(Nn.constant_value(light.material.color), np.float32)
+            return ((np.asarray(lo) + np.asarray(hi)) / 2).astype(np.float32), c.reshape(-1)[:3], False
+    raise RuntimeError("MicroRenderGI needs at least one light")
+
+
+class MicroRenderIntegrator:
+    """PRL: MicroRenderGI(point_count) (program_context.cpp:54-56)."""
+
     def __init__(self, point_count=2048):
-        super().__init__(BlueSampler(16), 5)
-        self.point_count = point_count
+        self.point_count = int(point_count)
+
+    def render(self, scene):
+        cscene = scene.compile()
+        cam = scene.camera
+        film = cam.film
+        W, H = film.width, film.height
+        img = render_micro(cscene, cam, W, H, self.point_count)
+        film.set_rgb(np.asarray(img))
+        return film
+
+
+def render_micro(cscene, cam, W, H, point_count=2048, chunk=16384):
+    from pine_tpu.core.capture import bind, collect_device_arrays
+
+    scene = cscene.scene
+    P, Nrm, G, total_area = _surfel_sample(scene, point_count)
+    radius = float(np.sqrt(total_area / point_count) / np.pi)  # :97
+    lp, cl, is_dir = _pick_light(cscene)
+
+    cam_params = cam.params()
+    arrays, setters = collect_device_arrays((cscene, cam_params))
+    Pd, Nd = jnp.asarray(P), jnp.asarray(Nrm)
+    Gd = jnp.asarray(G)
+    lp_d, cl_d = jnp.asarray(lp), jnp.asarray(cl)
+
+    def direct_at(p, nrm, albedo):
+        """cl * albedo * cos / (0.5 + d^2) with a shadow ray (:124-127)."""
+        f32 = jnp.float32
+        m = p.shape[0]
+        if is_dir:
+            wo = jnp.broadcast_to(lp_d / jnp.linalg.norm(lp_d), p.shape)
+            dist = jnp.full((m,), 1e6, f32)
+            fall = 1.0
+        else:
+            dvec = lp_d[None, :] - p
+            dist = jnp.linalg.norm(dvec, axis=-1)
+            wo = dvec / jnp.maximum(dist[:, None], 1e-8)
+            fall = 1.0 / (0.5 + dist * dist)
+        from pine_tpu.core.ray import offset_ray_origin
+        from pine_tpu.core.vecmath import face_forward
+
+        so = offset_ray_origin(p, face_forward(nrm, wo))
+        occ = cscene.any_hit(so, wo, jnp.zeros((m,), f32), dist * (1.0 - 1e-3))
+        cosv = jnp.abs(jnp.sum(nrm * wo, -1))
+        out = cl_d[None, :] * albedo * (cosv * fall)[:, None]
+        return jnp.where(occ[:, None], 0.0, out)
+
+    def surfel_pass(vals):
+        with bind(setters, vals):
+            ctx = dict(p=Pd, n=Nd, uv=jnp.zeros((point_count, 2), jnp.float32))
+            mat_idx = cscene.g_mat_dev[jnp.clip(Gd, 0, cscene.n_global - 1)]
+            st = material_eval.eval_bxdf_state(
+                cscene, mat_idx, ctx, Nd,
+                jnp.full((point_count,), 0.5), jnp.full((point_count,), 0.5),
+                0.0, jnp.zeros((point_count,), bool),
+            )
+            return direct_at(Pd, Nd, st["albedo"])
+
+    cd = jax.jit(surfel_pass)(arrays)  # surfel outgoing radiance
+
+    n = W * H
+    ys, xs = np.divmod(np.arange(n, dtype=np.int64), W)
+
+    def pixel_pass(vals, xs, ys, cd):
+        with bind(setters, vals):
+            f32 = jnp.float32
+            m = xs.shape[0]
+            pf = (jnp.stack([xs, ys], -1).astype(f32) + 0.5) / jnp.asarray([W, H], f32)
+            ro, rd = camera_mod.gen_rays(cam_params, pf, jnp.full((m, 2), 0.5))
+            t, gidx, hit, mesh_tri = cscene.intersect(
+                ro, rd, jnp.zeros((m,), f32), jnp.full((m,), 3.0e38, f32)
+            )
+            t_hit = jnp.where(hit, t, 1.0)
+            hp = ro + t_hit[:, None] * rd
+            p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
+            ctx = dict(p=p_s, n=ns, uv=uv)
+            mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
+            st = material_eval.eval_bxdf_state(
+                cscene, mat_idx, ctx, -rd, jnp.full((m,), 0.5), jnp.full((m,), 0.5),
+                0.0, jnp.zeros((m,), bool),
+            )
+            albedo = st["albedo"]
+            direct = direct_at(p_s, ns, albedo)
+            # surfel gather: solid_angle = 4pi r^2/(1+r^2), r = R/d (:152-155)
+            dvec = Pd[None, :, :] - p_s[:, None, :]  # (m,S,3)
+            d2 = jnp.sum(dvec * dvec, -1)
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-8))
+            wdir = dvec / dist[..., None]
+            cos_x = jnp.maximum(jnp.sum(wdir * ns[:, None, :], -1), 0.0)
+            cos_s = jnp.maximum(jnp.sum(-wdir * Nd[None, :, :], -1), 0.0)
+            rr = radius / dist
+            sa = 4 * Pi * rr * rr / (1 + rr * rr)
+            w = cos_x * cos_s * sa / (4 * Pi)
+            gi = albedo * jnp.einsum("ms,sc->mc", w, cd)
+            L = direct + gi
+            emis = cscene.is_emissive_lane(gidx) & hit
+            if cscene.emissive_globals:
+                le = cscene.emissive_le(gidx, ctx, -rd)
+                L = jnp.where(emis[:, None], le, L)
+            return jnp.where(hit[:, None], L, 0.0)
+
+    jfn = jax.jit(pixel_pass)
+    out = []
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    xs_p = np.concatenate([xs, np.full(n_pad - n, xs[-1])])
+    ys_p = np.concatenate([ys, np.full(n_pad - n, ys[-1])])
+    for c in range(n_pad // chunk):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        out.append(jfn(arrays, jnp.asarray(xs_p[sl], jnp.int32),
+                       jnp.asarray(ys_p[sl], jnp.int32), cd))
+    img = jnp.concatenate(out)[:n]
+    return img.reshape(H, W, 3)

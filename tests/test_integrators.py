@@ -203,3 +203,53 @@ def test_bssrdf_random_walk_translucency():
         assert np.isfinite(img).all()
         centers[sigma] = float(img[12:20, 12:20].mean())
     assert centers[3.0] > 5 * centers[40.0], centers
+
+
+def test_restir_matches_direct(tame):
+    """ReSTIR DI (restir.cpp:36-127, with the reference's commented final
+    gather actually implemented) must agree with depth-2 path tracing."""
+    from pine_tpu.integrators.restir import render_restir
+
+    scene, cscene, ref4 = tame
+    ref = np.asarray(
+        render_wavefront(cscene, scene.camera, 32, 32, UniformSampler(128), 128, 2)
+    )
+    img = np.asarray(render_restir(cscene, scene.camera, 32, 32, UniformSampler(16), 16))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.1, rel
+
+
+def test_micro_render_gi(tame):
+    """MicroRenderGI: surfel gather produces finite, lit output with indirect
+    color bleeding (a facade returning path tracing would differ in noise
+    structure; here we check the surfel pipeline runs and bounces light)."""
+    from pine_tpu.integrators.micro_render import render_micro
+
+    scene, cscene, ref = tame
+    img = np.asarray(render_micro(cscene, scene.camera, 32, 32, 512, chunk=1024))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05
+    # surfel GI adds energy over pure direct lighting somewhere
+    assert img.max() > 0.2
+
+
+def test_denoiser_reduces_noise(tame):
+    """denoise(scene): edge-aware a-trous filter must reduce total variation
+    while preserving mean (the reference's OIDN body is commented out;
+    denoise there is a no-op)."""
+    from pine_tpu.integrators.denoiser import denoise_scene
+    from pine_tpu.integrators.path import PathIntegrator
+
+    scene, cscene, ref = tame
+    PathIntegrator(UniformSampler(4), 4).render(scene)
+    noisy = scene.camera.film.pixels[..., :3].copy()
+    denoise_scene(scene)
+    den = scene.camera.film.pixels[..., :3]
+
+    def tv(a):
+        return np.abs(np.diff(a, axis=0)).mean() + np.abs(np.diff(a, axis=1)).mean()
+
+    assert np.isfinite(den).all()
+    assert tv(den) < 0.8 * tv(noisy)
+    assert abs(den.mean() - noisy.mean()) / noisy.mean() < 0.05
