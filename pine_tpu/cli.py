@@ -1,8 +1,8 @@
 """CLI entry: ``python -m pine_tpu <file.pine>`` (parity: src/cli/pine.cpp).
 
-The reference prints render progress at 10 Hz from a polling thread; the
-wavefront renderer executes whole frames per XLA dispatch, so progress is
-reported per render phase instead.
+Render progress is polled at 10 Hz from a watcher thread and reprinted as a
+``\\r`` line, exactly like the reference's g_progress loop (pine.cpp:36-40);
+the wavefront renderer updates it per film chunk.
 """
 from __future__ import annotations
 
@@ -17,11 +17,25 @@ def main(argv=None):
         return 1
     path = argv[0]
     from pine_tpu.core.profiler import Profiler
+    from pine_tpu.core.progress import ProgressReporter
     from pine_tpu.prl.interp import interpret_file
+
+    import contextlib
+    import os
+
+    # PINE_TRACE=<dir>: capture a jax.profiler trace of the whole run
+    # (SURVEY §5.1 — per-kernel timing beyond the phase profiler)
+    trace_dir = os.environ.get("PINE_TRACE")
+    if trace_dir:
+        import jax
+
+        trace_cm = jax.profiler.trace(trace_dir)
+    else:
+        trace_cm = contextlib.nullcontext()
 
     t0 = time.time()
     try:
-        with Profiler("Total"):
+        with trace_cm, Profiler("Total"), ProgressReporter():
             interpret_file(path)
     except Exception as e:  # mirror pine.cpp's catch-log behavior
         import os

@@ -85,12 +85,16 @@ TILE = 16  # pixel-tile edge for coherent lane ordering
 
 
 def _scene_token(cscene):
-    """Monotonic per-CompiledScene token (id() reuse after GC is unsafe as a
-    cache key — ADVICE.md round 1)."""
+    """Content-based scene key (id() reuse after GC is unsafe — ADVICE r1;
+    content keys also let identical scenes share compiled programs, e.g.
+    pine.pine's 17 structurally identical frames)."""
     tok = getattr(cscene, "_cache_token", None)
     if tok is None:
-        _TOKEN_COUNTER[0] += 1
-        tok = _TOKEN_COUNTER[0]
+        try:
+            tok = cscene.scene.content_key()
+        except Exception:
+            _TOKEN_COUNTER[0] += 1
+            tok = f"tok{_TOKEN_COUNTER[0]}"
         try:
             cscene._cache_token = tok
         except AttributeError:

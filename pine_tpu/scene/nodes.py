@@ -131,7 +131,13 @@ class Lerp(Node):
         t = self.t.eval(ctx)
         a = self.a.eval(ctx)
         b = self.b.eval(ctx)
-        if jnp.ndim(t) > 0 and jnp.ndim(a) > jnp.ndim(t):
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+        if t.ndim == 1 and a.ndim == 1 and a.shape[0] == 3 and t.shape[0] != 3:
+            # per-lane t blending constant colors: lift to (N,3)
+            a, b, t = a[None, :], b[None, :], t[:, None]
+        elif t.ndim > 0 and a.ndim > t.ndim:
             t = t[..., None]
         return a + (b - a) * t
 

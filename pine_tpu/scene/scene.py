@@ -102,6 +102,48 @@ class Scene:
             self._compiled = CompiledScene(self)
         return self._compiled
 
+    def content_key(self):
+        """Content hash over all host-side scene data.  Renders of scenes
+        with identical content share jit programs (multi-frame scripts like
+        pine.pine would otherwise recompile every frame)."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+
+        def add(x):
+            if x is None:
+                h.update(b"\0")
+            elif isinstance(x, (int, float, bool, str)):
+                h.update(repr(x).encode())
+            elif isinstance(x, np.ndarray):
+                h.update(x.tobytes())
+            else:
+                h.update(type(x).__name__.encode())
+                d = getattr(x, "__dict__", None)
+                if d is not None:
+                    for k in sorted(d):
+                        if k.startswith("_"):
+                            continue
+                        h.update(k.encode())
+                        v = d[k]
+                        # device arrays hash by shape only (their content
+                        # derives from host fields already hashed; reading
+                        # them back would poison TPU dispatch)
+                        if hasattr(v, "devices"):
+                            h.update(repr((v.shape, str(v.dtype))).encode())
+                        else:
+                            add(v)
+
+        for shape, mat in self.geometries:
+            add(shape)
+            add(mat)
+        for li in self.lights:
+            add(li)
+        for m in self.mediums:
+            add(m)
+        add(self.env_light)
+        return h.hexdigest()
+
 
 class CompiledScene:
     """SoA device tables + static dispatch metadata for one Scene."""
