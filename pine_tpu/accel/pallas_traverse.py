@@ -425,24 +425,34 @@ CELL = 16       # prims per cell (2 sublane-tiles of 8)
 SUPER = 128     # prims per supercell (8 cells)
 
 
-def _make_grid_kernel(tid, width, n_prims, any_hit):
+def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
     """Supercell-culled transposed dense kernel.
 
     State lives in VMEM scratch and all control flow is @pl.when predication
     (a lax.cond with vector carries costs ~1.5us in Mosaic — measured; scratch
     mutation makes branching nearly free).  Prim tiles load as (8,1) sublane
-    vectors: zero scalar broadcasts in the prim loop."""
+    vectors: zero scalar broadcasts in the prim loop.
+
+    hbm=True (mesh-scale groups): the prim table stays in HBM and each TAKEN
+    supercell's (SUPER,128) slice is DMA'd into a VMEM scratch buffer before
+    its tile loop — VMEM holds only one supercell at a time, so triangle
+    counts are bounded by HBM, not VMEM."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     test = PRIM_TESTS[tid]
     n_super = (n_prims + SUPER - 1) // SUPER
     tiles_per_super = SUPER // 8
 
-    def kernel(sc_boxes, cell_boxes, rows,  # SMEM x2 + VMEM (E_pad,128)
+    def kernel(sc_boxes, cell_boxes, rows,
                ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
-               bt_out, be_out, bt_s, be_s):
+               bt_out, be_out, bt_s, be_s, *extra):
+        if hbm:
+            row_buf, dma_sem = extra
+        else:
+            row_buf = rows
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         invx = _safe_inv(dx[:])
         invy = _safe_inv(dy[:])
@@ -470,15 +480,22 @@ def _make_grid_kernel(tid, width, n_prims, any_hit):
 
             @pl.when(sc_hit)
             def _():
+                if hbm:
+                    cp = pltpu.make_async_copy(
+                        rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
+                    )
+                    cp.start()
+                    cp.wait()
                 for s in range(K_SUB):
                     o = (ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :])
                     d = (dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :])
                     tmin = tmn[s : s + 1, :]
                     for tile in range(tiles_per_super):
                         p0 = si * SUPER + tile * 8
+                        buf_p0 = tile * 8 if hbm else p0
 
-                        def fetch(c, p0=p0):
-                            return rows[pl.ds(p0, 8), c : c + 1]  # (8,1)
+                        def fetch(c, buf_p0=buf_p0):
+                            return row_buf[pl.ds(buf_p0, 8), c : c + 1]  # (8,1)
 
                         row_bt = bt_s[s : s + 1, :]
                         limit = tmx[s : s + 1, :] if any_hit else row_bt
@@ -556,7 +573,7 @@ def _grid_layout(g):
 
 
 @functools.lru_cache(maxsize=256)
-def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows):
+def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -566,19 +583,28 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows):
     ray_spec = pl.BlockSpec(
         (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
-    table_spec = pl.BlockSpec(
-        (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
-    )
-    kernel = _make_grid_kernel(tid, width, n_prims, any_hit)
+    if hbm:
+        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        table_spec = pl.BlockSpec(
+            (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+    kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm)
+    scratch = [
+        pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
+        pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
+    ]
+    if hbm:
+        scratch += [
+            pltpu.VMEM((SUPER, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[table_spec] + [ray_spec] * 10,
         out_specs=(ray_spec, ray_spec),
-        scratch_shapes=[
-            pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
-            pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -595,13 +621,18 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows):
 # host-side wrappers
 # --------------------------------------------------------------------------
 
-GRID_MAX_PRIMS = 8192  # (E,128) f32 table <= 4 MB VMEM
+GRID_MAX_PRIMS = 8192  # (E,128) f32 table <= 4 MB VMEM (above: HBM + DMA)
+GRID_MAX_PRIMS_HBM = 2_000_000  # supercell boxes must fit SMEM
 
 
 def _grid_eligible(g):
     if g["tid"] not in PRIM_TESTS or "_prim_aabbs" not in g:
         return False
-    return g["_prim_aabbs"].shape[0] <= GRID_MAX_PRIMS
+    return g["_prim_aabbs"].shape[0] <= GRID_MAX_PRIMS_HBM
+
+
+def _grid_hbm(g):
+    return g["_prim_aabbs"].shape[0] > GRID_MAX_PRIMS
 
 
 def group_supports_pallas(g):
@@ -717,7 +748,7 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         grid_l = _grid_layout(g)
         call = _compiled_grid_call(
             g["tid"], grid_l["width"], grid_l["n_prims"],
-            grid_l["e_pad"], any_hit, R,
+            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g),
         )
         out_t, out_e = call(
             grid_l["sc_boxes"], grid_l["cell_boxes"], grid_l["table"], *args
