@@ -446,7 +446,12 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
     n_super = (n_prims + SUPER - 1) // SUPER
     tiles_per_super = SUPER // 8
 
-    def kernel(sc_boxes, cell_boxes, rows,
+    coarse_factor = 16
+    n_super_pad = ((n_super + coarse_factor - 1) // coarse_factor) * coarse_factor
+    n_coarse = n_super_pad // coarse_factor
+    use_coarse = n_super > coarse_factor  # two-level culling for big groups
+
+    def kernel(coarse_boxes, sc_boxes, rows,
                ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
                bt_out, be_out, bt_s, be_s, *extra):
         if hbm:
@@ -459,6 +464,22 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
         invz = _safe_inv(dz[:])
         bt_s[:] = tmx[:] if any_hit else bt_in[:]
         be_s[:] = be_in[:]
+
+        def slab_any(bx, base, far_ref):
+            lx, ly, lz = bx[base], bx[base + 1], bx[base + 2]
+            ux, uy, uz = bx[base + 3], bx[base + 4], bx[base + 5]
+            t0x, t1x = (lx - ox[:]) * invx, (ux - ox[:]) * invx
+            t0y, t1y = (ly - oy[:]) * invy, (uy - oy[:]) * invy
+            t0z, t1z = (lz - oz[:]) * invz, (uz - oz[:]) * invz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmn[:]),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), far_ref),
+            )
+            return jnp.any(near <= far)
 
         def do_super(si, _):
             # cull: supercell AABB vs the whole (8,128) ray block
@@ -476,7 +497,9 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
             )
-            sc_hit = jnp.any(near <= far)
+            # padded supercells (coarse-level alignment) must never run: a
+            # sorted slab test can't represent an empty box, so gate on index
+            sc_hit = jnp.any(near <= far) & (si < n_super)
 
             @pl.when(sc_hit)
             def _():
@@ -521,7 +544,23 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
 
             return 0
 
-        jax.lax.fori_loop(0, n_super, do_super, 0)
+        if use_coarse:
+            # outer cull over groups of 16 supercells (big meshes would
+            # otherwise spend most cycles on per-supercell slab tests)
+            def do_coarse(ci, _):
+                hit_c = slab_any(coarse_boxes, ci * 6, bt_s[:] if not any_hit else tmx[:])
+
+                @pl.when(hit_c)
+                def _():
+                    jax.lax.fori_loop(
+                        ci * coarse_factor, (ci + 1) * coarse_factor, do_super, 0
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, n_coarse, do_coarse, 0)
+        else:
+            jax.lax.fori_loop(0, n_super, do_super, 0)
         if any_hit:
             bt_out[:] = bt_in[:]
         else:
@@ -552,20 +591,29 @@ def _grid_layout(g):
     # AABB per prim for cells: from the shape's own params we can't cheaply
     # recompute; use stored per-entity AABBs carried by the builder.
     boxes = g["_prim_aabbs"]  # (E, 6) lo,hi in leaf order
-    cb = np.zeros(((E_pad // CELL), 6), np.float32)
-    sb = np.zeros(((E_pad // SUPER), 6), np.float32)
-    for arr, size in ((cb, CELL), (sb, SUPER)):
-        for i in range(len(arr)):
-            seg = boxes[i * size : min((i + 1) * size, E)]
-            if len(seg) == 0:
-                arr[i, 0:3] = 1.0
-                arr[i, 3:6] = -1.0  # empty box: never hit
-            else:
-                arr[i, 0:3] = seg[:, 0:3].min(0)
-                arr[i, 3:6] = seg[:, 3:6].max(0)
+    n_super = E_pad // SUPER
+    n_super_pad = ((n_super + 15) // 16) * 16
+    sb = np.zeros((n_super_pad, 6), np.float32)
+    sb[:, 0:3] = 1.0
+    sb[:, 3:6] = -1.0  # empty box: never hit
+    for i in range(n_super):
+        seg = boxes[i * SUPER : min((i + 1) * SUPER, E)]
+        if len(seg):
+            sb[i, 0:3] = seg[:, 0:3].min(0)
+            sb[i, 3:6] = seg[:, 3:6].max(0)
+    # coarse level: groups of 16 supercells
+    cb = np.zeros((n_super_pad // 16, 6), np.float32)
+    cb[:, 0:3] = 1.0
+    cb[:, 3:6] = -1.0
+    for i in range(len(cb)):
+        seg = sb[i * 16 : (i + 1) * 16]
+        real = seg[seg[:, 0] <= seg[:, 3]]
+        if len(real):
+            cb[i, 0:3] = real[:, 0:3].min(0)
+            cb[i, 3:6] = real[:, 3:6].max(0)
     g["_grid"] = dict(
         table=jnp.asarray(table),
-        cell_boxes=jnp.asarray(cb.reshape(-1)),
+        coarse_boxes=jnp.asarray(cb.reshape(-1)),
         sc_boxes=jnp.asarray(sb.reshape(-1)),
         n_prims=E, width=W, e_pad=E_pad,
     )
@@ -751,7 +799,7 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
             grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g),
         )
         out_t, out_e = call(
-            grid_l["sc_boxes"], grid_l["cell_boxes"], grid_l["table"], *args
+            grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["table"], *args
         )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
 
