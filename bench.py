@@ -80,7 +80,7 @@ def main():
     jax.block_until_ready(img)
 
     times = []
-    for _ in range(3):
+    for _ in range(5):  # min-of-5: the tunneled TPU shows run-to-run variance
         t0 = time.perf_counter()
         img, stats = render_wavefront(
             cscene, cam, W, H, sampler, SPP, DEPTH, return_stats=True

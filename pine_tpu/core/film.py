@@ -14,13 +14,41 @@ from pine_tpu.core import color as color_mod
 from pine_tpu.io.image_io import save_image
 
 
+_DEFERRED_SAVES = []  # (path, device-or-host tonemapped image, invert_y)
+
+
+def flush_deferred_saves():
+    """Materialize and write all queued film saves.  Called once at script
+    end (CLI) — the single point where device images are read back, because
+    a readback permanently degrades TPU dispatch (core/capture.py)."""
+    global _DEFERRED_SAVES
+    pending, _DEFERRED_SAVES = _DEFERRED_SAVES, []
+    for path, img, invert_y in pending:
+        save_image(path, np.asarray(img), invert_y=invert_y, encode_srgb=True)
+
+
 class Film:
     def __init__(self, size, tone_mapper: str = "uncharted2"):
         # size is (width, height) as in PRL `Film([w, h])`.
         self.width = int(size[0])
         self.height = int(size[1])
         self.tone_mapper = tone_mapper
-        self.pixels = np.zeros((self.height, self.width, 4), np.float32)
+        self._pixels = np.zeros((self.height, self.width, 4), np.float32)
+        self._device_rgb = None  # pending un-materialized device frame
+
+    @property
+    def pixels(self):
+        if self._device_rgb is not None:
+            rgb = np.asarray(self._device_rgb, np.float32)  # d2h: on demand
+            self._device_rgb = None
+            self._pixels[..., :3] = rgb
+            self._pixels[..., 3] = 1.0
+        return self._pixels
+
+    @pixels.setter
+    def pixels(self, v):
+        self._device_rgb = None
+        self._pixels = v
 
     @property
     def size(self):
@@ -30,14 +58,23 @@ class Film:
         return self.width / self.height
 
     def clear(self):
-        self.pixels[:] = 0.0
+        self._device_rgb = None
+        self._pixels[:] = 0.0
 
     def set_rgb(self, rgb):
-        """Store a full (H,W,3) radiance frame with alpha=1."""
-        rgb = np.asarray(rgb, np.float32)
-        assert rgb.shape == (self.height, self.width, 3), rgb.shape
-        self.pixels[..., :3] = rgb
-        self.pixels[..., 3] = 1.0
+        """Store a full (H,W,3) radiance frame with alpha=1.
+
+        Device arrays are kept ON DEVICE until someone reads `.pixels` or the
+        deferred save queue flushes — reading back mid-script poisons TPU
+        dispatch for every later frame."""
+        if isinstance(rgb, np.ndarray):
+            assert rgb.shape == (self.height, self.width, 3), rgb.shape
+            self._device_rgb = None
+            self._pixels[..., :3] = np.asarray(rgb, np.float32)
+            self._pixels[..., 3] = 1.0
+        else:
+            assert rgb.shape == (self.height, self.width, 3), rgb.shape
+            self._device_rgb = rgb
 
     def add_sample(self, p, rgb, weight=1.0):
         """Running-mean accumulation (film.cpp add_sample); p=(x,y)."""
@@ -57,13 +94,22 @@ class Film:
     def scale(self, factor):
         self.pixels *= factor
 
-    def finalized(self, scale=1.0):
-        """Return tone-mapped (H,W,3) in [0,1] (film.cpp finalize)."""
+    def finalized_device(self, scale=1.0):
+        """Tone-mapped (H,W,3) as a DEVICE array (no readback)."""
         import jax.numpy as jnp
 
-        rgb = jnp.asarray(self.pixels[..., :3] * scale)
-        mapped = color_mod.TONE_MAPPERS[self.tone_mapper](rgb)
-        return np.asarray(mapped)
+        if self._device_rgb is not None:
+            rgb = self._device_rgb * scale
+        else:
+            rgb = jnp.asarray(self._pixels[..., :3] * scale)
+        return color_mod.TONE_MAPPERS[self.tone_mapper](rgb)
+
+    def finalized(self, scale=1.0):
+        """Return tone-mapped (H,W,3) in [0,1] (film.cpp finalize)."""
+        return np.asarray(self.finalized_device(scale))
 
     def save(self, path, scale=1.0):
-        save_image(path, self.finalized(scale), invert_y=True, encode_srgb=True)
+        """Queue the tone-mapped frame; written at flush_deferred_saves()
+        (script end).  The snapshot is immutable, so later renders into this
+        film don't disturb queued frames."""
+        _DEFERRED_SAVES.append((path, self.finalized_device(scale), True))

@@ -67,5 +67,5 @@ class AOIntegrator:
             return (total / spp).reshape(H, W, 3)
 
         img = jax.jit(render_fn)()
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film

@@ -96,7 +96,7 @@ class CachedPathIntegrator:
             cscene, cam, W, H, self.sampler, self.sampler.spp,
             self.max_path_length, self.max_axis_resolution, self.starting_depth,
         )
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 

@@ -93,7 +93,7 @@ def denoise_scene(scene):
     albedo, normal = render_aux(cscene, cam, W, H)
     color = jnp.asarray(film.pixels[..., :3])
     out = jax.jit(atrous_denoise)(color, albedo, normal)
-    film.set_rgb(np.asarray(out))
+    film.set_rgb(out)  # device array: readback deferred to save-flush
     return film
 
 

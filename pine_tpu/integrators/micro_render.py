@@ -126,7 +126,7 @@ class MicroRenderIntegrator:
         film = cam.film
         W, H = film.width, film.height
         img = render_micro(cscene, cam, W, H, self.point_count)
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 

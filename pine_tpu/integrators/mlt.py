@@ -199,7 +199,7 @@ class MltIntegrator:
         img = render_mlt(
             cscene, cam, W, H, self.avg_spp, self.max_path_length, self.n_chains
         )
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 

@@ -68,7 +68,7 @@ class PathIntegrator:
             self.sampler.spp,
             self.max_path_length,
         )
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 

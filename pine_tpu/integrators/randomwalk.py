@@ -22,5 +22,5 @@ class RandomWalkIntegrator(PathIntegrator):
             cscene, scene.camera, film.width, film.height,
             self.sampler, self.sampler.spp, self.max_path_length, nee=False,
         )
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film

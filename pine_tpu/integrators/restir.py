@@ -54,7 +54,7 @@ class RestirIntegrator:
         film = cam.film
         W, H = film.width, film.height
         img = render_restir(cscene, cam, W, H, self.sampler, self.sampler.spp)
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 

@@ -66,5 +66,5 @@ class VolIntegrator:
         )
         ro, rd = camera_mod.gen_rays(cam_params, pf, jnp.full((n, 2), 0.5))
         img = jax.jit(vol_radiance)(ro, rd).reshape(H, W, 3)
-        film.set_rgb(np.asarray(img))
+        film.set_rgb(img)  # device array: readback deferred to save-flush
         return film

@@ -285,7 +285,14 @@ class Interpreter:
     # ---- public API ----
     def run(self, source, filename="<script>"):
         block = parse(source, filename)
-        self.exec_block(block, self.script_env, new_scope=False)
+        try:
+            self.exec_block(block, self.script_env, new_scope=False)
+        finally:
+            # materialize queued film saves once, at script end — the single
+            # device->host readback point (core/film.py + core/capture.py)
+            from pine_tpu.core.film import flush_deferred_saves
+
+            flush_deferred_saves()
 
     def get_var(self, name):
         cell = self.script_env.find(name)

@@ -429,27 +429,41 @@ class CompiledScene:
 
 
 def _sdf_march(sdf, ro, rd, tmin, tmax, steps=128, eps=1e-5):
-    """Sphere-trace (geometry.cpp:730-753), vectorized with fixed step count."""
+    """Sphere-trace (geometry.cpp:730-753), vectorized with fixed step count.
+
+    The march is clamped to the SDF's AABB slab interval: walking t toward
+    FLOAT_MAX would evaluate script SDFs at ~1e38-magnitude points, where
+    trig-based distance fields produce NaNs (which permanently poison this
+    TPU's dispatch path)."""
     import jax
+
+    n = ro.shape[0]
+    lo, hi = sdf.get_aabb()
+    inv = 1.0 / jnp.where(jnp.abs(rd) < 1e-9, jnp.where(rd < 0, -1e-9, 1e-9), rd)
+    t0b = (jnp.asarray(lo, jnp.float32) - ro) * inv
+    t1b = (jnp.asarray(hi, jnp.float32) - ro) * inv
+    enter = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
+    exit_ = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+    t_lo = jnp.maximum(jnp.maximum(jnp.broadcast_to(tmin, (n,)), 0.0), enter)
+    t_hi = jnp.minimum(jnp.broadcast_to(tmax, (n,)), exit_ + 1e-3)
+    inside = t_lo <= t_hi
 
     def body(i, carry):
         t, done_hit, done_miss = carry
-        p = ro + t[:, None] * rd
+        p = ro + jnp.minimum(t, t_hi)[:, None] * rd
         d = sdf.fn(p)
         hit_now = (d < eps) & ~done_miss
-        miss_now = (t >= tmax) & ~done_hit
+        miss_now = (t >= t_hi) & ~done_hit
         done_hit = done_hit | hit_now
         done_miss = done_miss | miss_now
         active = ~(done_hit | done_miss)
-        t = jnp.where(active, t + d, t)
+        t = jnp.where(active, jnp.minimum(t + d, t_hi + 1e-3), t)
         return t, done_hit, done_miss
 
-    n = ro.shape[0]
-    t0 = jnp.maximum(jnp.broadcast_to(tmin, (n,)), 0.0)
     t, hit, miss = jax.lax.fori_loop(
-        0, steps, body, (t0, jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+        0, steps, body, (t_lo, jnp.zeros((n,), bool), ~inside)
     )
-    return jnp.where(hit, t, BIG)
+    return jnp.where(hit & inside, t, BIG)
 
 
 def _sdf_normal(sdf, p, ops=1e-4):
