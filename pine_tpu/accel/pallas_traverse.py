@@ -421,7 +421,7 @@ def _make_dense_kernel(tid, width, n_prims, any_hit):
 # prunes the prim tiles each 128-ray row must test.
 # --------------------------------------------------------------------------
 
-CELL = 16       # prims per cell (2 sublane-tiles of 8)
+CELL = 16  # retained for layout docs; culling is supercell (128) + coarse (2048)
 SUPER = 128     # prims per supercell (8 cells)
 
 
