@@ -69,6 +69,18 @@ def collect_device_arrays(roots, max_depth=12):
                     visit(v, depth + 1)
         elif isinstance(obj, tuple):
             for v in obj:
+                if _is_device_array(v):
+                    # tuples are immutable: no setter exists, so this array
+                    # CANNOT be rebound and would reach jit as a captured
+                    # device constant — which permanently poisons dispatch
+                    # ~1000x on this backend.  Fail loudly instead of
+                    # silently re-introducing that regression (ADVICE r2).
+                    raise TypeError(
+                        "collect_device_arrays: device array held by an "
+                        "immutable tuple cannot be rebound as a jit argument; "
+                        "store it in a list/dict/attribute instead "
+                        f"(tuple: {obj!r:.120})"
+                    )
                 visit(v, depth + 1)
         elif isinstance(obj, types.FunctionType):
             if obj.__closure__:

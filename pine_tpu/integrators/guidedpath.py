@@ -17,8 +17,10 @@ with inverse-variance frame blending and outlier-rejected variance
 
 Deviations (documented): fixed-resolution grid/histogram instead of adaptive
 trees; the reference's non-compensated Russian roulette on low-pdf guided
-samples (guidedpath.cpp:142) is omitted (we always evaluate — unbiased);
-in-medium guiding is not traced.
+samples (guidedpath.cpp:141-143) IS applied at depth > 1 exactly as the
+reference does — uncompensated, so the estimator shares the reference's
+slight bias in exchange for killing noisy-histogram fireflies; in-medium
+guiding is not traced.
 """
 from __future__ import annotations
 

@@ -380,12 +380,17 @@ class CompiledScene:
             pdf = jnp.where(gidx == g, p_t, pdf)
         return pdf / n_lights
 
-    def transmittance(self, ro, rd, tmax, key=None):
+    def transmittance(self, ro, rd, tmax, key=None, grid=True):
         """Chromatic transmittance along [0,tmax]: analytic for homogeneous
         media (integrator.cpp:75-81), ratio-tracked for grid media
         (medium.cpp:264-290).  `key` (N,) uint32 seeds the tracking; when
         omitted it derives from the ray-origin bits (origins are jittered per
-        sample, so estimates decorrelate across samples)."""
+        sample, so estimates decorrelate across samples).
+
+        grid=False restricts to homogeneous media: the path integrator's
+        per-segment beta must NOT re-apply grid extinction because the
+        delta-tracking scatter pass already carries it stochastically
+        (pass-through lanes = survived null-collision chain)."""
         n = ro.shape[0]
         tr = jnp.ones((n, 3), jnp.float32)
         if self.media:
@@ -397,7 +402,7 @@ class CompiledScene:
                 hi = jnp.clip(e, 0.0, tmax[:, None])
                 overlap = jnp.sum(jnp.maximum(hi - lo, 0.0), axis=1)
                 tr = tr * jnp.exp(-jnp.asarray(med.sigma_t) * overlap[:, None])
-        if self.grid_media:
+        if self.grid_media and grid:
             from pine_tpu.scene.media_track import grid_transmittance, ray_key
 
             if key is None:
