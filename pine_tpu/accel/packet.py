@@ -197,6 +197,8 @@ def build_packet_accel(analytic_prims, meshes):
         if g["tid"] in PT.PRIM_TESTS:
             if PT._grid_eligible(g):
                 PT._grid_layout(g)
+                if PT._grid_hbm(g):
+                    PT._sc_tree_layout(g)
             else:
                 PT._group_smem_arrays(g)
 

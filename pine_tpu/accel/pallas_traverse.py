@@ -570,6 +570,257 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
     return kernel
 
 
+# --------------------------------------------------------------------------
+# supercell-tree kernel (mesh scale): SAH binary tree over 128-prim
+# supercells walked with a shared scalar stack per (8,128) ray block —
+# near-first, best-t pruned (the TPU shape of bvh.cpp:320-451's stack walk) —
+# then 32-prim cell culling inside each DMA'd supercell.  The linear
+# supercell scan this replaces touched ~48 supercells per block on grazing
+# mesh rays (measured); the descent touches only the near ones.
+# --------------------------------------------------------------------------
+
+CELL32 = 32             # prims per cull cell (4 cells per supercell)
+TREE_LEAF = 4           # supercells per tree leaf (sah_arrays LEAF_MAX)
+
+
+def _make_sctree_kernel(tid, width, n_prims, any_hit):
+    """Tree-descent kernel over HBM prim tables.
+
+    Scalar-prefetch (SMEM): tree child boxes/links/leaf ranges, the
+    supercell order permutation, and 32-prim cell AABBs.  Rays ride lanes;
+    prims ride sublanes via (8,1) fetches from the DMA'd supercell buffer.
+    State (best_t/best_e) lives in VMEM scratch; the while carry is one
+    scalar sp so Mosaic keeps control flow on the scalar core."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    test = PRIM_TESTS[tid]
+    tiles_per_cell = CELL32 // 8
+    cells_per_super = SUPER // CELL32
+
+    def kernel(boxes, cnode, cstart, ccount, sc_order, cell_boxes, rows,
+               ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+               bt_out, be_out, bt_s, be_s, row_buf, dma_sem, stack):
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        invx = _safe_inv(dx[:])
+        invy = _safe_inv(dy[:])
+        invz = _safe_inv(dz[:])
+        bt_s[:] = tmx[:] if any_hit else bt_in[:]
+        be_s[:] = be_in[:]
+        stack[0] = 0
+
+        def slab(bx, base, near_out=False):
+            """Scalar box from SMEM vs the whole (8,128) block."""
+            lx, ly, lz = bx[base], bx[base + 1], bx[base + 2]
+            ux, uy, uz = bx[base + 3], bx[base + 4], bx[base + 5]
+            t0x, t1x = (lx - ox[:]) * invx, (ux - ox[:]) * invx
+            t0y, t1y = (ly - oy[:]) * invy, (uy - oy[:]) * invy
+            t0z, t1z = (lz - oz[:]) * invz, (uz - oz[:]) * invz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmn[:]),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
+            )
+            hit = near <= far
+            if near_out:
+                return jnp.any(hit), jnp.min(jnp.where(hit, near, BIG))
+            return jnp.any(hit)
+
+        def do_super(si):
+            """One supercell: DMA prims, cull 32-prim cells, test tiles."""
+            cp = pltpu.make_async_copy(
+                rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
+            )
+            cp.start()
+            # cell culling runs off SMEM while the DMA is in flight
+            cell_hits = [
+                slab(cell_boxes, (si * cells_per_super + k) * 6)
+                & (si * SUPER + k * CELL32 < n_prims)
+                for k in range(cells_per_super)
+            ]
+            cp.wait()
+            for k in range(cells_per_super):
+                @pl.when(cell_hits[k])
+                def _(k=k):
+                    for s in range(K_SUB):
+                        o = (ox[s:s + 1, :], oy[s:s + 1, :], oz[s:s + 1, :])
+                        d = (dx[s:s + 1, :], dy[s:s + 1, :], dz[s:s + 1, :])
+                        tmin = tmn[s:s + 1, :]
+                        for tile in range(tiles_per_cell):
+                            buf_p0 = k * CELL32 + tile * 8
+                            p0 = si * SUPER + buf_p0
+
+                            def fetch(c, buf_p0=buf_p0):
+                                return row_buf[pl.ds(buf_p0, 8), c:c + 1]
+
+                            row_bt = bt_s[s:s + 1, :]
+                            limit = tmx[s:s + 1, :] if any_hit else row_bt
+                            tt = test(fetch, o, d, tmin, limit)
+                            pid = p0 + sub_iota
+                            tt = jnp.where(pid < n_prims, tt, BIG)
+                            if any_hit:
+                                be_s[s:s + 1, :] = jnp.maximum(
+                                    be_s[s:s + 1, :],
+                                    jnp.max((tt < BIG).astype(jnp.int32),
+                                            axis=0, keepdims=True),
+                                )
+                            else:
+                                tb = jnp.min(tt, axis=0, keepdims=True)
+                                eb = jnp.min(
+                                    jnp.where(tt == tb, pid, jnp.int32(2 ** 30)),
+                                    axis=0, keepdims=True,
+                                )
+                                better = tb < row_bt
+                                bt_s[s:s + 1, :] = jnp.where(better, tb, row_bt)
+                                be_s[s:s + 1, :] = jnp.where(
+                                    better, eb, be_s[s:s + 1, :]
+                                )
+
+        def leaf(node, k):
+            start = cstart[node * 2 + k]
+            cnt = ccount[node * 2 + k]
+            for j in range(TREE_LEAF):
+                @pl.when(j < cnt)
+                def _(j=j):
+                    do_super(sc_order[start + j])
+
+        def body(sp):
+            sp1 = sp - 1
+            node = stack[sp1]
+            c0 = cnode[node * 2]
+            c1 = cnode[node * 2 + 1]
+            any0, tn0 = slab(boxes, node * 12, near_out=True)
+            any1, tn1 = slab(boxes, node * 12 + 6, near_out=True)
+
+            @pl.when(any0 & (c0 < 0))
+            def _():
+                leaf(node, 0)
+
+            @pl.when(any1 & (c1 < 0))
+            def _():
+                leaf(node, 1)
+
+            # push inner children, far first so the near child pops next
+            push0 = any0 & (c0 >= 0)
+            push1 = any1 & (c1 >= 0)
+            near0 = tn0 <= tn1
+            first_c = jnp.where(near0, c1, c0)
+            first_p = jnp.where(near0, push1, push0)
+            second_c = jnp.where(near0, c0, c1)
+            second_p = jnp.where(near0, push0, push1)
+            sp2 = sp1
+            stack[jnp.where(first_p, sp2, STACK_DEPTH - 1)] = first_c
+            sp2 = sp2 + first_p.astype(jnp.int32)
+            stack[jnp.where(second_p, sp2, STACK_DEPTH - 1)] = second_c
+            sp2 = sp2 + second_p.astype(jnp.int32)
+            sp2 = jnp.minimum(sp2, STACK_DEPTH - 2)
+            if any_hit:
+                sp2 = jnp.where(jnp.all(be_s[:] != 0), 0, sp2)
+            return sp2
+
+        jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+        if any_hit:
+            bt_out[:] = bt_in[:]
+        else:
+            bt_out[:] = bt_s[:]
+        be_out[:] = be_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_sctree_call(tid, width, n_prims, any_hit, n_rows):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    grid = (n_rows // K_SUB,)
+    ray_spec = pl.BlockSpec(
+        (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kernel = _make_sctree_kernel(tid, width, n_prims, any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[table_spec] + [ray_spec] * 10,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[
+            pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((SUPER, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def _sc_tree_layout(g):
+    """Supercell SAH tree + 32-prim cell boxes for the HBM descent kernel.
+    Host-side, at accel-build time (outside any trace)."""
+    import jax.numpy as jnp
+
+    if "_sctree" in g:
+        return g["_sctree"]
+    from pine_tpu.accel.unified import sah_arrays
+
+    grid_l = _grid_layout(g)
+    boxes = g["_prim_aabbs"]  # (E, 6) in leaf order
+    E = boxes.shape[0]
+    n_super = (E + SUPER - 1) // SUPER
+    sb = np.zeros((n_super, 6), np.float32)
+    for i in range(n_super):
+        seg = boxes[i * SUPER: min((i + 1) * SUPER, E)]
+        sb[i, 0:3] = seg[:, 0:3].min(0)
+        sb[i, 3:6] = seg[:, 3:6].max(0)
+    order, c_lower, c_upper, c_node, c_start, c_count = sah_arrays(
+        sb[:, 0:3], sb[:, 3:6], (sb[:, 0:3] + sb[:, 3:6]) * 0.5
+    )
+    order = np.concatenate(
+        [np.asarray(order, np.int32), np.zeros(TREE_LEAF, np.int32)]
+    )  # pad: leaf loop reads start+j before gating on count
+    tb = np.concatenate(
+        [np.asarray(c_lower, np.float32), np.asarray(c_upper, np.float32)],
+        axis=-1,
+    )  # (M,2,6)
+    n_cell = (E + CELL32 - 1) // CELL32
+    cells_per_super = SUPER // CELL32
+    cb = np.zeros((n_super * cells_per_super, 6), np.float32)
+    cb[:, 0:3] = 1.0
+    cb[:, 3:6] = -1.0  # never-hit filler; kernel also gates on prim index
+    for i in range(n_cell):
+        seg = boxes[i * CELL32: min((i + 1) * CELL32, E)]
+        cb[i, 0:3] = seg[:, 0:3].min(0)
+        cb[i, 3:6] = seg[:, 3:6].max(0)
+    g["_sctree"] = dict(
+        boxes=jnp.asarray(tb.reshape(-1)),
+        cnode=jnp.asarray(np.asarray(c_node, np.int32).reshape(-1)),
+        cstart=jnp.asarray(np.asarray(c_start, np.int32).reshape(-1)),
+        ccount=jnp.asarray(np.asarray(c_count, np.int32).reshape(-1)),
+        sc_order=jnp.asarray(order),
+        cell_boxes=jnp.asarray(cb.reshape(-1)),
+        table=grid_l["table"],
+        n_prims=E,
+        width=grid_l["width"],
+    )
+    return g["_sctree"]
+
+
 def _grid_layout(g):
     """Host-side transposed tables for the grid kernel.  MUST be called at
     accel-build time (outside any trace) — see _group_smem_arrays."""
@@ -793,10 +1044,21 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         prep(best_t, -1.0), prep(best_e, 0),
     )
     if _grid_eligible(g):
+        if _grid_hbm(g):
+            # mesh scale: supercell-tree descent (near-first, best-t pruned)
+            tl = _sc_tree_layout(g)
+            call = _compiled_sctree_call(
+                g["tid"], tl["width"], tl["n_prims"], any_hit, R
+            )
+            out_t, out_e = call(
+                tl["boxes"], tl["cnode"], tl["cstart"], tl["ccount"],
+                tl["sc_order"], tl["cell_boxes"], tl["table"], *args,
+            )
+            return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
         grid_l = _grid_layout(g)
         call = _compiled_grid_call(
             g["tid"], grid_l["width"], grid_l["n_prims"],
-            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g),
+            grid_l["e_pad"], any_hit, R, hbm=False,
         )
         out_t, out_e = call(
             grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["table"], *args
