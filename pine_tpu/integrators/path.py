@@ -141,6 +141,10 @@ def render_wavefront(
     n = W * H
     if chunk is None:
         chunk = min(n, DEFAULT_CHUNK)
+        if getattr(cscene, "grid_media", None):
+            # delta/ratio-tracking programs carry much larger live state per
+            # lane; 64k-lane chunks fault the TPU worker on grid-media scenes
+            chunk = min(n, DEFAULT_CHUNK // 2)
     cam_params = cam.params()
     # cache key from HOST-side camera fields: np.asarray on the device params
     # would be a d2h readback, which permanently poisons TPU dispatch
@@ -427,13 +431,20 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
                 jnp.uint32(sample_index), jnp.uint32(7000 + depth),
             )
             for gi, med in enumerate(cscene.grid_media):
-                sc_m, ts_m, w_m, abs_m = grid_sample_scatter(
+                sc_m, ts_m, w_m, abs_m, le_m = grid_sample_scatter(
                     med, ro, rd, seg_limit, key + jnp.uint32(gi)
                 )
                 # a lane scatters at most once per segment: later media must
                 # not re-scatter (or clobber) a lane an earlier medium took
-                sc_m = sc_m & alive & ~med_scatter
-                abs_m = abs_m & alive & ~med_scatter & ~sc_m
+                em_gate = alive & ~med_scatter
+                sc_m = sc_m & em_gate
+                abs_m = abs_m & em_gate & ~sc_m
+                # blackbody emission accumulated along the tracking walk
+                # (medium.cpp:233-249 + blackbody.cpp:12-74, expected-value form)
+                if getattr(med, "emissive", False):
+                    L_indirect = L_indirect + jnp.where(
+                        em_gate[:, None], beta * le_m, 0.0
+                    )
                 alive = alive & ~abs_m
                 p_m = ro + ts_m[:, None] * rd
                 if n_lights > 0:

@@ -115,13 +115,36 @@ def read_nvdb_density(filename, grid_name="density"):
     raise ValueError(f"{filename}: no grid named '{grid_name}'")
 
 
+def list_nvdb_grids(filename):
+    """-> list of grid names in the file (raw single-grid blobs report their
+    embedded name, like nanovdb::io::hasGrid, medium.cpp:181-203)."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    magic, = struct.unpack_from("<Q", data, 0)
+    if magic == MAGIC_GRID:
+        return [data[40 : 40 + 256].split(b"\0", 1)[0].decode()]
+    if magic not in (MAGIC_FILE0, MAGIC_FILE2):
+        raise ValueError(f"{filename}: not a NanoVDB file (magic {magic:#x})")
+    _, grid_count, _ = struct.unpack_from("<IHH", data, 8)
+    off = 16
+    names = []
+    for _ in range(grid_count):
+        meta = FILE_META.unpack_from(data, off)
+        file_size = meta[1]
+        name_size = meta[21]
+        off += FILE_META.size
+        names.append(data[off : off + name_size].split(b"\0", 1)[0].decode())
+        off += name_size + file_size
+    return names
+
+
 # ---------------------------------------------------------------------------
 # test-support writer: emits a minimal single-FloatGrid raw buffer with the
 # same layout the reader consumes (round-trip coverage; real files from
 # nanovdb tooling share these struct layouts).
 # ---------------------------------------------------------------------------
 
-def write_nvdb_dense(filename, density):
+def _grid_blob(name, density):
     density = np.asarray(density, np.float32)
     X, Y, Z = density.shape
     assert X % LEAF_DIM == 0 and Y % LEAF_DIM == 0 and Z % LEAF_DIM == 0
@@ -136,7 +159,8 @@ def write_nvdb_dense(filename, density):
     grid_data = bytearray(672)
     struct.pack_into("<Q", grid_data, 0, MAGIC_GRID)
     struct.pack_into("<Q", grid_data, 8, (1 << 64) - 1)  # checksum disabled
-    grid_data[40:47] = b"density"
+    nb = name.encode()[:255]
+    grid_data[40 : 40 + len(nb)] = nb
     struct.pack_into("<I", grid_data, 636, GRID_TYPE_FLOAT)
 
     tree = bytearray(64)
@@ -149,6 +173,27 @@ def write_nvdb_dense(filename, density):
         )
     struct.pack_into("<4q", tree, 0, 64, 0, 0, 0)  # leaves right after TreeData
     struct.pack_into("<3I", tree, 32, n_leaf, 0, 0)
+    return bytes(grid_data) + bytes(tree) + bytes(leaf_bytes)
 
+
+def write_nvdb_dense(filename, density):
+    """Single raw 'density' grid blob (no file container)."""
     with open(filename, "wb") as f:
-        f.write(bytes(grid_data) + bytes(tree) + bytes(leaf_bytes))
+        f.write(_grid_blob("density", density))
+
+
+def write_nvdb_multi(filename, grids):
+    """Multi-grid file container: grids = {name: (X,Y,Z) array}.  Used to
+    author emissive-volume assets (density + flames + temperature, the grid
+    set the reference's VDBMedium probes, medium.cpp:181-203)."""
+    parts = [struct.pack("<QIHH", MAGIC_FILE0, 0, len(grids), 0)]
+    for name, arr in grids.items():
+        blob = _grid_blob(name, arr)
+        nb = name.encode() + b"\0"
+        meta = bytearray(FILE_META.size)
+        struct.pack_into("<QQ", meta, 0, len(blob), len(blob))  # gridSize, fileSize
+        # nameSize lives right after {4Q, 2I, 6d, 6i, 3d} = offset 136
+        struct.pack_into("<I", meta, 136, len(nb))
+        parts.append(bytes(meta) + nb + blob)
+    with open(filename, "wb") as f:
+        f.write(b"".join(parts))

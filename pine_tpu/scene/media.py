@@ -101,7 +101,9 @@ class GridMedium:
 
     is_grid = True
 
-    def __init__(self, density, transform, pf, sigma_a, sigma_s):
+    def __init__(self, density, transform, pf, sigma_a, sigma_s,
+                 flame=None, temperature=None, blackbody_intensity=0.0,
+                 temperature_scale=1.0):
         density = np.asarray(density, np.float32)
         assert density.ndim == 3
         self.density = jnp.asarray(density)
@@ -124,6 +126,42 @@ class GridMedium:
         self.sigma_z_bar = self.sigma_a_bar + self.sigma_s_bar
         self.max_density = float(density.max())
         self.sigma_maj = self.sigma_z_bar * self.max_density
+        # blackbody emission (medium.cpp:181-251 + blackbody.cpp:12-74):
+        # flame grid scales intensity; temperature grid tints by Planck color.
+        # Grids share the density grid's index space (VDBMedium resamples).
+        self.blackbody_intensity = float(blackbody_intensity)
+        self.temperature_scale = float(temperature_scale)
+        self.flame = None
+        self.temperature = None
+        self.bb_table = None
+        self.emissive = flame is not None and self.blackbody_intensity > 0.0
+        # host-side content digest: scene.content_key hashes device arrays by
+        # shape only, so same-shaped grids with different voxels need this to
+        # key separate compiled render programs
+        import hashlib
+
+        hsh = hashlib.blake2b(digest_size=8)
+        hsh.update(density.tobytes())
+        for g in (flame, temperature):
+            if g is not None:
+                hsh.update(np.asarray(g, np.float32).tobytes())
+        self.grids_digest = hsh.hexdigest()
+        if self.emissive:
+            flame = np.asarray(flame, np.float32)
+            assert flame.shape == density.shape, (flame.shape, density.shape)
+            self.flame = jnp.asarray(flame)
+            if temperature is not None:
+                temperature = np.asarray(temperature, np.float32)
+                assert temperature.shape == density.shape
+                self.temperature = jnp.asarray(temperature)
+                # the color table rides as an object attribute so the capture
+                # walker passes it as a jit argument (core/capture.py)
+                from pine_tpu.core.blackbody import _RGBS, _N, _T_MIN, _T_MAX
+
+                self.bb_table = jnp.asarray(_RGBS)
+                self._bb_n = _N
+                self._bb_tmin = float(_T_MIN)
+                self._bb_tmax = float(_T_MAX)
 
     def get_aabb(self):
         corners = np.stack(
@@ -149,6 +187,33 @@ class GridMedium:
         d = self.density[idx[..., 0], idx[..., 1], idx[..., 2]]
         return jnp.where(inside, d, 0.0)
 
+    def emission_at(self, p):
+        """Blackbody radiance at world p (the reference's absorption-branch
+        estimator, medium.cpp:233-249): intensity * flame(p), tinted by
+        blackbody(temperature_scale * 4000 * T(p)) when a temperature grid
+        exists.  -> (N,3); zeros when not emissive."""
+        n = p.shape[0]
+        if not self.emissive:
+            return jnp.zeros((n, 3), jnp.float32)
+        q = self.local_of(p)
+        res = jnp.asarray(np.asarray(self.res, np.float32))
+        idx = jnp.clip(jnp.floor(q * res).astype(jnp.int32), 0, jnp.asarray(self.res) - 1)
+        inside = jnp.all((q >= 0.0) & (q < 1.0), axis=-1)
+        fl = self.flame[idx[..., 0], idx[..., 1], idx[..., 2]]
+        le = (self.blackbody_intensity * jnp.where(inside, fl, 0.0))[:, None]
+        le = jnp.broadcast_to(le, (n, 3))
+        if self.temperature is not None:
+            T = self.temperature[idx[..., 0], idx[..., 1], idx[..., 2]]
+            tk = jnp.clip(
+                self.temperature_scale * 4000.0 * T, self._bb_tmin, self._bb_tmax
+            )
+            f = (tk - self._bb_tmin) / (self._bb_tmax - self._bb_tmin) * (self._bb_n - 1)
+            i0 = jnp.clip(f.astype(jnp.int32), 0, self._bb_n - 2)
+            w = (f - i0)[..., None]
+            rgb = self.bb_table[i0] * (1 - w) + self.bb_table[i0 + 1] * w
+            le = le * rgb
+        return le
+
     def bounds_interval(self, ro, rd):
         """Entry/exit t of the (transformed) unit-cube bounds."""
         mi = jnp.asarray(self.m_inv)
@@ -167,19 +232,42 @@ class VDBMedium(GridMedium):
 
     PRL: VDBMedium(filename, transform, pf, sigma_a, sigma_s
     [, blackbody_intensity, temperature_scale]).  The minimal reader in
-    io/nvdb.py densifies the file's "density" FloatGrid; the blackbody
-    emission grids the reference scaffolds (and leaves commented out,
-    medium.cpp:233-249) are not traced.
+    io/nvdb.py densifies the file's "density" FloatGrid; "flames" and
+    "temperature" grids (probed like medium.cpp:181-203) drive blackbody
+    emission at absorption events (the explosion renders in the reference
+    gallery), resampled nearest onto the density grid's index box when
+    resolutions differ.
     """
 
     def __init__(self, filename, transform, pf, sigma_a, sigma_s,
                  blackbody_intensity=0.0, temperature_scale=1.0):
-        from pine_tpu.io.nvdb import read_nvdb_density
+        from pine_tpu.io.nvdb import list_nvdb_grids, read_nvdb_density
 
         density, index_aabb = read_nvdb_density(filename)
+        names = set(list_nvdb_grids(filename))
+
+        def aligned(name):
+            if name not in names:
+                return None
+            g, bbox = read_nvdb_density(filename, grid_name=name)
+            if g.shape == density.shape:
+                return g
+            # nearest-resample onto the density grid's index box
+            xs = [
+                np.minimum(
+                    (np.arange(density.shape[i]) * g.shape[i]) // density.shape[i],
+                    g.shape[i] - 1,
+                )
+                for i in range(3)
+            ]
+            return g[np.ix_(xs[0], xs[1], xs[2])]
+
         # world placement: like get_grid_info (medium.cpp:136-150), the grid's
         # index box maps into the unit cube which `transform` places in world
         transform = np.asarray(getattr(transform, "data", transform), np.float32)
-        super().__init__(density, transform, pf, sigma_a, sigma_s)
-        self.blackbody_intensity = float(blackbody_intensity)
-        self.temperature_scale = float(temperature_scale)
+        super().__init__(
+            density, transform, pf, sigma_a, sigma_s,
+            flame=aligned("flames"), temperature=aligned("temperature"),
+            blackbody_intensity=blackbody_intensity,
+            temperature_scale=temperature_scale,
+        )

@@ -32,7 +32,12 @@ def _u(key, step, salt):
 
 
 def grid_transmittance(med, ro, rd, tmax, key):
-    """Ratio tracking (medium.cpp:264-290) -> (N,3) transmittance."""
+    """Ratio tracking (medium.cpp:264-290) -> (N,3) transmittance.
+
+    Continuous product form: Tr ~= prod_k (1 - sigma_t(x_k)/sigma_maj) over
+    majorant-spaced collision points — the reference's estimator.  (An
+    earlier Bernoulli-survival variant returned 0/1 per lane, which made
+    in-cloud NEE shadow rays pure salt noise.)"""
     n = ro.shape[0]
     t_in, t_out = med.bounds_interval(ro, rd)
     t_hi = jnp.minimum(t_out, tmax)
@@ -42,50 +47,39 @@ def grid_transmittance(med, ro, rd, tmax, key):
         return jnp.ones((n, 3), jnp.float32)
     inv_maj = 1.0 / sigma_maj
 
-    def body(i, carry):
-        t, alive, u_chain = carry
+    def step(i, carry):
+        t, alive, w = carry
         u_step = _u(key, i, 911)
         t2 = t - jnp.log(jnp.maximum(1.0 - u_step, 1e-7)) * inv_maj
         out = t2 >= t_hi
         p = ro + t2[:, None] * rd
-        dd = 1.0 - med.sigma_z_bar * med.density_at(p) * inv_maj
-        survive = u_chain < dd
-        u_chain = jnp.where(survive, u_chain / jnp.maximum(dd, 1e-7), u_chain)
-        alive2 = alive & ~out & survive
-        killed = alive & ~out & ~survive
-        return (
-            jnp.where(alive & ~out, t2, t),
-            alive2,
-            u_chain,
-        ), killed
+        dd = jnp.maximum(1.0 - med.sigma_z_bar * med.density_at(p) * inv_maj, 0.0)
+        act = alive & ~out
+        w = jnp.where(act, w * dd, w)
+        alive = act & (w > 1e-5)  # dead once opaque (early exit of the walk)
+        return jnp.where(act, t2, t), alive, w
 
-    # manual unrolled-fori with kill accumulation
-    t = t_in
-    alive = relevant
-    u_chain = _u(key, 0, 137)
-    killed_any = jnp.zeros((n,), bool)
-
-    def step(i, carry):
-        t, alive, u_chain, killed_any = carry
-        (t, alive, u_chain), killed = body(i, (t, alive, u_chain))
-        return t, alive, u_chain, killed_any | killed
-
-    t, alive, u_chain, killed_any = jax.lax.fori_loop(
-        0, TRACK_STEPS, step, (t, alive, u_chain, killed_any)
+    t, alive, w = jax.lax.fori_loop(
+        0, TRACK_STEPS, step,
+        (t_in, relevant, jnp.ones((n,), jnp.float32)),
     )
-    tr = jnp.where(killed_any, 0.0, 1.0)
-    return tr[:, None] * jnp.ones((1, 3), jnp.float32)
+    w = jnp.where(relevant, w, 1.0)
+    return w[:, None] * jnp.ones((1, 3), jnp.float32)
 
 
 def grid_sample_scatter(med, ro, rd, t_limit, key):
     """Null-collision delta tracking (medium.cpp:204-251).
 
-    -> (scattered, t_scatter, weight (N,3), absorbed).  Pass-through lanes
-    already carry the stochastic transmittance (no extra Tr factor needed);
-    the weight carries the chromatic sigma_s ratio (unit mean) so colored
-    scattering albedo survives scalar tracking.  Absorption kills the lane
-    (the reference comments its absorption branch out, medium.cpp:233-249,
-    which subtly re-uses a stale u; real termination is strictly better)."""
+    -> (scattered, t_scatter, weight (N,3), absorbed, le_emitted (N,3)).
+    Pass-through lanes already carry the stochastic transmittance (no extra
+    Tr factor needed); the weight carries the chromatic sigma_s ratio (unit
+    mean) so colored scattering albedo survives scalar tracking.  Absorption
+    kills the lane.  For emissive media (flames/temperature grids,
+    medium.cpp:233-249 — commented out upstream, live here), ``le_emitted``
+    accumulates blackbody radiance at every collision arrival weighted by the
+    conditional absorption probability (Rao-Blackwellized form of the
+    reference's emit-on-absorb branch: same mean, far lower variance than
+    spiking full Le at rare absorption events)."""
     n = ro.shape[0]
     t_in, t_out = med.bounds_interval(ro, rd)
     t_hi = jnp.minimum(t_out, t_limit)
@@ -93,11 +87,15 @@ def grid_sample_scatter(med, ro, rd, t_limit, key):
     sigma_maj = med.sigma_maj
     if sigma_maj <= 0.0:
         z = jnp.zeros((n,), bool)
-        return z, jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32), z
+        zf3 = jnp.zeros((n, 3), jnp.float32)
+        return z, jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32), z, zf3
     inv_maj = 1.0 / sigma_maj
+    emissive = bool(getattr(med, "emissive", False))
+    if emissive:
+        ratio_a = jnp.asarray(med.sigma_a, jnp.float32) / max(med.sigma_a_bar, 1e-8)
 
     def step(i, carry):
-        t, walking, scattered, t_scat, absorbed, u_chain = carry
+        t, walking, scattered, t_scat, absorbed, le_acc, u_chain = carry
         u_step = _u(key, i, 523)
         t2 = t - jnp.log(jnp.maximum(1.0 - u_step, 1e-7)) * inv_maj
         out = t2 >= t_hi
@@ -112,21 +110,33 @@ def grid_sample_scatter(med, ro, rd, t_limit, key):
         is_abs = ~is_null & ~is_scat
         u_chain = jnp.where(is_null, u_chain / jnp.maximum(prob_n, 1e-7), u_chain)
         act = walking & ~out
+        if emissive:
+            prob_a = jnp.maximum((sig_t - sig_s) * inv_maj, 0.0)
+            le_acc = le_acc + jnp.where(
+                act[:, None],
+                (prob_a[:, None] * med.emission_at(p)) * ratio_a,
+                0.0,
+            )
         scattered = scattered | (act & is_scat)
         absorbed = absorbed | (act & is_abs)
         t_scat = jnp.where(act & is_scat, t2, t_scat)
         walking = act & is_null
-        return jnp.where(act, t2, t), walking, scattered, t_scat, absorbed, u_chain
+        return (
+            jnp.where(act, t2, t), walking, scattered, t_scat, absorbed, le_acc,
+            u_chain,
+        )
 
     t = t_in
     walking = relevant
     scattered = jnp.zeros((n,), bool)
     absorbed = jnp.zeros((n,), bool)
     t_scat = jnp.zeros((n,), jnp.float32)
+    le_acc = jnp.zeros((n, 3), jnp.float32)
     u_chain = _u(key, 0, 881)
-    t, walking, scattered, t_scat, absorbed, u_chain = jax.lax.fori_loop(
-        0, TRACK_STEPS, step, (t, walking, scattered, t_scat, absorbed, u_chain)
+    t, walking, scattered, t_scat, absorbed, le_acc, u_chain = jax.lax.fori_loop(
+        0, TRACK_STEPS, step,
+        (t, walking, scattered, t_scat, absorbed, le_acc, u_chain),
     )
     w = jnp.asarray(med.sigma_s, jnp.float32) / max(med.sigma_s_bar, 1e-8)
     weight = jnp.broadcast_to(w[None, :], (n, 3))
-    return scattered, t_scat, weight, absorbed
+    return scattered, t_scat, weight, absorbed, le_acc

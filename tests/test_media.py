@@ -42,7 +42,7 @@ def test_grid_tracking_matches_analytic():
     tmax = jnp.full((N,), 10.0)
     tr = float(np.asarray(grid_transmittance(med, ro, rd, tmax, key)).mean())
     assert abs(tr - np.exp(-2.0)) < 0.01, tr
-    sc, ts, w, ab = grid_sample_scatter(med, ro, rd, tmax, key)
+    sc, ts, w, ab, le = grid_sample_scatter(med, ro, rd, tmax, key)
     frac = float(np.asarray(sc).mean())
     assert abs(frac - (1 - np.exp(-2.0))) < 0.01, frac
     assert float(np.asarray(ab).mean()) == 0.0  # sigma_a = 0: never absorbed
@@ -67,7 +67,7 @@ def test_grid_absorption_kills():
     ro = jnp.asarray(np.tile([[0.5, 0.5, -1.0]], (N, 1)).astype(np.float32))
     rd = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (N, 1)).astype(np.float32))
     key = jnp.asarray(np.arange(N, dtype=np.uint32))
-    sc, ts, w, ab = grid_sample_scatter(med, ro, rd, jnp.full((N,), 10.0), key)
+    sc, ts, w, ab, le = grid_sample_scatter(med, ro, rd, jnp.full((N,), 10.0), key)
     assert float(np.asarray(sc).mean()) == 0.0
     assert abs(float(np.asarray(ab).mean()) - (1 - np.exp(-2.0))) < 0.02
 
@@ -242,3 +242,101 @@ def test_two_grid_media_match_merged():
     b = render(False, 0)
     # statistical agreement: mean image brightness within MC noise
     assert abs(a.mean() - b.mean()) < 0.12 * max(a.mean(), b.mean()), (a.mean(), b.mean())
+
+
+def _emissive_vdb_scene(path, intensity, tscale=1.0, sigma_a=2.0):
+    """Tiny scene: emissive VDB ball in darkness, camera looking at it."""
+    from pine_tpu.core.camera import ThinLenCamera
+    from pine_tpu.core.film import Film
+    from pine_tpu.scene import materials as M, shapes as S
+    from pine_tpu.scene.media import CloudPhaseFunction, VDBMedium
+    from pine_tpu.scene.scene import Scene
+
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] *= 2.0
+    m[:3, 3] = [-1.0, -1.0, 0.0]
+    sc = Scene()
+    # a far dim light so the light list is non-empty
+    sc.add(S.Rect([0, 8, 0], [0.1, 0, 0], [0, 0, 0.1]), M.Emissive([0.5, 0.5, 0.5]))
+    sc.add(VDBMedium(path, m, CloudPhaseFunction(0.5), [sigma_a] * 3, [1.0] * 3,
+                     intensity, tscale))
+    sc.set(ThinLenCamera(Film([8, 8], "uncharted2"), [0, 0, -3], [0, 0, 1], 0.35))
+    return sc
+
+
+def _ball_grids(n=16):
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) / n - 0.5
+    r = np.linalg.norm(g, axis=0)
+    dens = np.clip((0.45 - r) * 6, 0, 1).astype(np.float32) * 2.0
+    flame = np.clip((0.3 - r) * 8, 0, 1).astype(np.float32)
+    temp = np.clip((0.35 - r) * 5, 0, 1).astype(np.float32)
+    return dens, flame, temp
+
+
+def test_emissive_vdb_scales_with_intensity():
+    """Blackbody emission at absorption events: intensity k doubles ->
+    emitted radiance ~doubles; intensity 0 -> no emission (medium.cpp:233-249,
+    the reference gallery's explosion capability)."""
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.io.nvdb import write_nvdb_multi
+
+    dens, flame, temp = _ball_grids()
+    path = tempfile.mktemp(suffix=".nvdb")
+    write_nvdb_multi(path, {"density": dens, "flames": flame, "temperature": temp})
+
+    def mean_lum(intensity):
+        sc = _emissive_vdb_scene(path, intensity)
+        img = np.asarray(render_wavefront(
+            sc.compile(), sc.camera, 8, 8, UniformSampler(32), 32, 3
+        ))
+        assert np.isfinite(img).all()
+        return float(img.mean())
+
+    # intensities stay below the path-level firefly clamp (CLAMP=8) so the
+    # 2x relationship is preserved end-to-end
+    dark = mean_lum(0.0)
+    lit = mean_lum(1.5)
+    lit2 = mean_lum(3.0)
+    assert lit > dark * 3 + 1e-3, (dark, lit)
+    emitted1, emitted2 = lit - dark, lit2 - dark
+    assert 1.5 < emitted2 / max(emitted1, 1e-9) < 2.5, (emitted1, emitted2)
+
+
+def test_emissive_vdb_temperature_tints():
+    """Hotter temperature_scale shifts the blackbody tint toward blue."""
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.io.nvdb import write_nvdb_multi
+
+    dens, flame, temp = _ball_grids()
+    path = tempfile.mktemp(suffix=".nvdb")
+    write_nvdb_multi(path, {"density": dens, "flames": flame, "temperature": temp})
+
+    def rgb(tscale):
+        sc = _emissive_vdb_scene(path, 30.0, tscale)
+        img = np.asarray(render_wavefront(
+            sc.compile(), sc.camera, 8, 8, UniformSampler(16), 16, 3
+        ))
+        return img.mean(axis=(0, 1))
+
+    cool = rgb(0.6)   # ~2400K peak -> red-dominant
+    hot = rgb(2.2)    # ~8800K peak -> blue-shifted
+    assert cool[0] / max(cool[2], 1e-9) > hot[0] / max(hot[2], 1e-9), (cool, hot)
+
+
+def test_nvdb_multi_roundtrip():
+    from pine_tpu.io.nvdb import list_nvdb_grids, read_nvdb_density, write_nvdb_multi
+
+    rng = np.random.default_rng(5)
+    grids = {
+        "density": rng.random((8, 8, 8)).astype(np.float32),
+        "flames": rng.random((8, 8, 8)).astype(np.float32),
+        "temperature": rng.random((8, 8, 8)).astype(np.float32),
+    }
+    path = tempfile.mktemp(suffix=".nvdb")
+    write_nvdb_multi(path, grids)
+    assert set(list_nvdb_grids(path)) == set(grids)
+    for name, arr in grids.items():
+        got, _ = read_nvdb_density(path, grid_name=name)
+        assert np.array_equal(got, arr), name
