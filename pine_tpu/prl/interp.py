@@ -333,7 +333,17 @@ class Interpreter:
         elif k is A.Block:
             self.exec_block(node, env)
         elif k is A.While:
-            while _cond(self.eval(node.cond, env)):
+            # a loop may START concrete and become traced mid-flight (e.g.
+            # `t := 0.0; while t < 9 { t += sdf(...) }`): check per iteration
+            while True:
+                c = self.eval(node.cond, env)
+                if _is_traced_val(c):
+                    from pine_tpu.prl.trace_flow import trace_while
+
+                    trace_while(self, c, node.cond, node.body, None, env)
+                    break
+                if not _cond(c):
+                    break
                 try:
                     self.exec_block(node.body, env)
                 except BreakEx:
@@ -343,7 +353,15 @@ class Interpreter:
         elif k is A.For:
             scope = Env(env)
             self.exec_elem(node.init, scope)
-            while _cond(self.eval(node.cond, scope)):
+            while True:
+                c = self.eval(node.cond, scope)
+                if _is_traced_val(c):
+                    from pine_tpu.prl.trace_flow import trace_while
+
+                    trace_while(self, c, node.cond, node.body, node.inc, scope)
+                    break
+                if not _cond(c):
+                    break
                 try:
                     self.exec_block(node.body, scope)
                 except BreakEx:
@@ -352,8 +370,21 @@ class Interpreter:
                     pass
                 self.eval(node.inc, scope)
         elif k is A.IfChain:
-            for cond, blk in zip(node.conds, node.blocks):
-                if _cond(self.eval(cond, env)):
+            for i, (cond, blk) in enumerate(zip(node.conds, node.blocks)):
+                c = self.eval(cond, env)
+                if _is_traced_val(c):
+                    from pine_tpu.prl.trace_flow import trace_ifchain
+
+                    # earlier conds were concrete-false; lower the remaining
+                    # chain (later conds may still be concrete: they broadcast)
+                    vals = [c] + [
+                        self.eval(cn, env) for cn in node.conds[i + 1 :]
+                    ]
+                    trace_ifchain(
+                        self, vals, node.blocks[i:], node.else_block, env
+                    )
+                    return
+                if _cond(c):
                     self.exec_block(blk, env)
                     return
             if node.else_block is not None:
@@ -524,11 +555,7 @@ class Interpreter:
 
 
 def _cond(v):
-    if _is_traced_val(v):
-        raise PRLRuntimeError(
-            "data-dependent control flow inside a traced lambda is not supported; "
-            "use select-style math or static bounds"
-        )
+    # traced conditions are lowered before reaching here (trace_flow.py)
     return bool(v)
 
 
