@@ -36,12 +36,49 @@ DENSE_MAX = 16  # types with <= this many instances skip the BVH
 DEFAULT_K = 256  # rays per packet
 
 
-def build_packet_accel(analytic_prims, meshes):
+def _mesh_tri_tables(mesh):
+    """Local-space per-triangle tables -> (rows(F,12), lo, hi, n_attr, t_attr,
+    has_n, has_t)."""
+    v = mesh.vertices
+    f = mesh.indices.astype(np.int64)
+    v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    gn = np.cross(v0 - v1, v0 - v2)
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    rows = np.concatenate([v0, v1, v2, gn], axis=1).astype(np.float32)
+    lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    F = len(f)
+    if mesh.normals is not None:
+        vn = mesh.normals
+        n_attr = np.concatenate([vn[f[:, 0]], vn[f[:, 1]], vn[f[:, 2]]], axis=1)
+        has_n = np.ones(F, bool)
+    else:
+        n_attr = np.zeros((F, 9), np.float32)
+        has_n = np.zeros(F, bool)
+    if mesh.texcoords is not None:
+        vt = mesh.texcoords
+        t_attr = np.concatenate([vt[f[:, 0]], vt[f[:, 1]], vt[f[:, 2]]], axis=1)
+        has_t = np.ones(F, bool)
+    else:
+        t_attr = np.zeros((F, 6), np.float32)
+        has_t = np.zeros(F, bool)
+    return rows, lo, hi, n_attr.astype(np.float32), t_attr.astype(np.float32), has_n, has_t
+
+
+def build_packet_accel(analytic_prims, meshes, instanced=()):
     """analytic_prims: list of (type_id, params np(k,), gidx, aabb(lo,hi));
-    meshes: list of (Mesh, gidx) -> accel dict or None if empty.
+    meshes: list of (Mesh, gidx); instanced: list of dicts
+    {mesh, minv (I,12 world->local), m (I,12 local->world), gidx (I,)}
+    -> accel dict or None if empty.
 
     Groups primitives by shape type; numerous types get a per-type SAH BVH,
     sparse types a dense table.  Triangles from all meshes form one group.
+
+    Instanced records become lazy two-level groups (geometry.h:371-390,
+    Embree RTC instancing): ONE local-space triangle table + SAH tree shared
+    by all instances, plus a top-level SAH tree over instance world AABBs.
+    Hits report virtual entity ids  vbase + instance*stride + tri  so memory
+    stays O(mesh), not O(instances x mesh).
     """
     import jax.numpy as jnp
 
@@ -185,7 +222,86 @@ def build_packet_accel(analytic_prims, meshes):
             has_t=np.concatenate(tri_has_t),
         )
 
-    if base == 0:
+    # ---- lazy two-level instanced groups ------------------------------------
+    inst_groups = []
+    vbase = base + LEAF_MAX  # virtual ids start clear of the entity pad rows
+    for rec in instanced:
+        mesh = rec["mesh"]
+        rows, lo, hi, n_attr, t_attr, has_n, has_t = _mesh_tri_tables(mesh)
+        centroid = (lo + hi) * 0.5
+        order, c_lower, c_upper, c_node, c_start, c_count = sah_arrays(
+            lo, hi, centroid
+        )
+        rows = rows[order]
+        T = len(rows)
+        stride = T + LEAF_MAX  # leaf slots may peek into the pad rows
+        rows_pad = np.concatenate([rows, np.zeros((LEAF_MAX, 12), np.float32)])
+        sub = dict(
+            tid=S.TRIANGLE, kind="bvh", base=0,
+            rows=jnp.asarray(rows_pad), rows_np=rows_pad.copy(),
+            _prim_aabbs=np.concatenate([lo, hi], axis=1)[order],
+            c_lower=jnp.asarray(c_lower), c_upper=jnp.asarray(c_upper),
+            c_node=jnp.asarray(c_node), c_start=jnp.asarray(c_start),
+            c_count=jnp.asarray(c_count),
+            nodes_np=dict(
+                c_lower=np.asarray(c_lower), c_upper=np.asarray(c_upper),
+                c_node=np.asarray(c_node), c_start=np.asarray(c_start),
+                c_count=np.asarray(c_count),
+            ),
+        )
+        # instance world AABBs from the mesh's local AABB corners
+        mlo, mhi = lo.min(0), hi.max(0)
+        corners = np.array(
+            [[x, y, z] for x in (mlo[0], mhi[0]) for y in (mlo[1], mhi[1])
+             for z in (mlo[2], mhi[2])], np.float32
+        )
+        m_l2w = np.asarray(rec["m"], np.float32).reshape(-1, 3, 4)
+        I_n = len(m_l2w)
+        wc = np.einsum("iab,cb->ica", m_l2w[:, :, :3], corners) + m_l2w[:, None, :, 3]
+        ilo = wc.min(axis=1)
+        ihi = wc.max(axis=1)
+        iorder, ic_lower, ic_upper, ic_node, ic_start, ic_count = sah_arrays(
+            ilo, ihi, (ilo + ihi) * 0.5
+        )
+        iorder = np.asarray(iorder, np.int64)
+        minv = np.asarray(rec["minv"], np.float32).reshape(I_n, 12)[iorder]
+        m_fwd = np.asarray(rec["m"], np.float32).reshape(I_n, 12)[iorder]
+        gidxs = np.asarray(rec["gidx"], np.int32)[iorder]
+        pad_i = LEAF_MAX
+        inst_groups.append(
+            dict(
+                kind="instanced", tid=S.TRIANGLE, vbase=vbase, stride=stride,
+                n_tris=T, n_inst=I_n, mesh=sub,
+                ic_lower=jnp.asarray(ic_lower), ic_upper=jnp.asarray(ic_upper),
+                ic_node=jnp.asarray(ic_node), ic_start=jnp.asarray(ic_start),
+                ic_count=jnp.asarray(ic_count),
+                inst_minv=jnp.asarray(
+                    np.concatenate([minv, np.zeros((pad_i, 12), np.float32)])
+                ),
+                inst_m=jnp.asarray(
+                    np.concatenate([m_fwd, np.zeros((pad_i, 12), np.float32)])
+                ),
+                inst_gidx=jnp.asarray(
+                    np.concatenate([gidxs, np.zeros(pad_i, np.int32)])
+                ),
+                tri_n=jnp.asarray(
+                    np.concatenate([n_attr[order], np.zeros((LEAF_MAX, 9), np.float32)])
+                ),
+                tri_t=jnp.asarray(
+                    np.concatenate([t_attr[order], np.zeros((LEAF_MAX, 6), np.float32)])
+                ),
+                tri_has_n=jnp.asarray(
+                    np.concatenate([has_n[order], np.zeros(LEAF_MAX, bool)])
+                ),
+                tri_has_t=jnp.asarray(
+                    np.concatenate([has_t[order], np.zeros(LEAF_MAX, bool)])
+                ),
+            )
+        )
+        vbase += I_n * stride
+    groups.extend(inst_groups)
+
+    if base == 0 and not inst_groups:
         return None
 
     # Pre-build the Pallas-side table layouts OUTSIDE any jit trace so the
@@ -194,6 +310,8 @@ def build_packet_accel(analytic_prims, meshes):
     from pine_tpu.accel import pallas_traverse as PT
 
     for g in groups:
+        if g["kind"] == "instanced":
+            continue  # instanced traversal runs the XLA packet walk
         if g["tid"] in PT.PRIM_TESTS:
             if PT._grid_eligible(g):
                 PT._grid_layout(g)
@@ -205,6 +323,7 @@ def build_packet_accel(analytic_prims, meshes):
     pad = LEAF_MAX
     accel = dict(
         groups=groups,
+        inst_groups=inst_groups,
         n_entities=base,
         ent_type=jnp.asarray(
             np.concatenate(ent_type_l + [np.full(pad, -1, np.int32)])
@@ -357,6 +476,265 @@ def _packet_traverse_group(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
     return best_t, best_e
 
 
+def _xform_rays(minv, ro_p, rd_p):
+    """Apply per-packet-row world->local 3x4 matrices (P,12) to rays.
+    Directions stay unnormalized so local t == world t."""
+    import jax.numpy as jnp
+
+    m = minv.reshape(minv.shape[0], 3, 4)  # (P,3,4)
+    ol = jnp.einsum("pab,pkb->pka", m[:, :, :3], ro_p) + m[:, None, :, 3]
+    dl = jnp.einsum("pab,pkb->pka", m[:, :, :3], rd_p)
+    return ol, dl
+
+
+def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
+    """Two-level closest hit: outer packet walk over the instance tree; a
+    taken instance leaf transforms the packet into instance-local space and
+    runs the shared mesh subtree (the TPU shape of Embree RTC instancing /
+    geometry.h:371-390).  best_e gets virtual ids vbase + inst*stride + tri."""
+    import jax
+    import jax.numpy as jnp
+
+    P, K = ro_p.shape[:2]
+    ic_lower, ic_upper = g["ic_lower"], g["ic_upper"]
+    ic_node, ic_start, ic_count = g["ic_node"], g["ic_start"], g["ic_count"]
+    sub = g["mesh"]
+    vbase, stride = g["vbase"], g["stride"]
+    pidx = jnp.arange(P)
+    scol = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+    far_o = jnp.full((P, K, 3), 2.0 * BIG, jnp.float32)
+
+    def leaf_instance(slot, do, best_t, best_e):
+        """Run the shared mesh walk for one per-row instance slot."""
+        slot = jnp.where(do, slot, 0)
+        minv = g["inst_minv"][slot]  # (P,12)
+        ol, dl = _xform_rays(minv, ro_p, rd_p)
+        # degenerate rays for rows without work: origin far outside every
+        # AABB so the inner walk's root test misses immediately
+        ol = jnp.where(do[:, None, None], ol, far_o)
+        dl = jnp.where(do[:, None, None], dl, 1.0)
+        sub_g = dict(sub, base=(vbase + slot * stride)[:, None])
+        return _packet_traverse_group(
+            sub_g, ol, dl, tmin_p, best_t, best_e, _safe_inv(dl)
+        )
+
+    def cond(state):
+        _, sp, _, _ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, best_t, best_e = state
+        active = sp > 0
+        sp1 = jnp.where(active, sp - 1, sp)
+        node = jnp.where(active, stack[pidx, jnp.maximum(sp1, 0)], 0)
+        lo = ic_lower[node]
+        up = ic_upper[node]
+        t0 = (lo[:, None] - ro_p[:, :, None]) * inv_d[:, :, None]
+        t1 = (up[:, None] - ro_p[:, :, None]) * inv_d[:, :, None]
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin_p[:, :, None])
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), best_t[:, :, None])
+        hit = (tn <= tf) & active[:, None, None]
+        tn = jnp.where(hit, tn, BIG)
+        packet_hit = jnp.any(hit, axis=1)
+        child = ic_node[node]
+        is_leaf = child < 0
+
+        for k in (0, 1):
+            do_leaf = packet_hit[:, k] & is_leaf[:, k]
+            start = jnp.where(do_leaf, ic_start[node, k], 0)
+            cnt = jnp.where(do_leaf, ic_count[node, k], 0)
+            for j in range(LEAF_MAX):
+                do = do_leaf & (j < cnt)
+                best_t, best_e = jax.lax.cond(
+                    jnp.any(do),
+                    lambda bt, be, s=start, jj=j, d=do: leaf_instance(
+                        s + jj, d, bt, be
+                    ),
+                    lambda bt, be: (bt, be),
+                    best_t, best_e,
+                )
+
+        push = packet_hit & ~is_leaf
+        tn_min = jnp.min(tn, axis=1)
+        near_is_0 = tn_min[:, 0] <= tn_min[:, 1]
+        first = jnp.where(near_is_0, 1, 0)
+        second = 1 - first
+
+        def push_child(stack, sp, which, do_push):
+            ch = child[pidx, which]
+            pos = jnp.minimum(sp, STACK_DEPTH - 1)
+            stack = jnp.where(
+                (scol == pos[:, None]) & do_push[:, None], ch[:, None], stack
+            )
+            return stack, jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        stack, sp2 = push_child(stack, sp1, first, push[pidx, first] & active)
+        stack, sp3 = push_child(stack, sp2, second, push[pidx, second] & active)
+        return stack, sp3, best_t, best_e
+
+    stack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
+    sp0 = jnp.ones((P,), jnp.int32)
+    _, _, best_t, best_e = jax.lax.while_loop(
+        cond, body, (stack0, sp0, best_t, best_e)
+    )
+    return best_t, best_e
+
+
+def _packet_anyhit_instanced(g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d):
+    """Two-level occlusion walk (early exit once every relevant ray is hit)."""
+    import jax
+    import jax.numpy as jnp
+
+    P, K = ro_p.shape[:2]
+    ic_lower, ic_upper = g["ic_lower"], g["ic_upper"]
+    ic_node, ic_start, ic_count = g["ic_node"], g["ic_start"], g["ic_count"]
+    sub = g["mesh"]
+    pidx = jnp.arange(P)
+    scol = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+    relevant = tmax_p > tmin_p
+    far_o = jnp.full((P, K, 3), 2.0 * BIG, jnp.float32)
+
+    def leaf_instance(slot, do, occluded):
+        slot = jnp.where(do, slot, 0)
+        minv = g["inst_minv"][slot]
+        ol, dl = _xform_rays(minv, ro_p, rd_p)
+        ol = jnp.where(do[:, None, None], ol, far_o)
+        dl = jnp.where(do[:, None, None], dl, 1.0)
+        return _packet_anyhit_group(
+            sub, ol, dl, tmin_p, tmax_p, occluded, _safe_inv(dl)
+        )
+
+    def cond(state):
+        _, sp, _ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, occluded = state
+        active = sp > 0
+        sp1 = jnp.where(active, sp - 1, sp)
+        node = jnp.where(active, stack[pidx, jnp.maximum(sp1, 0)], 0)
+        lo = ic_lower[node]
+        up = ic_upper[node]
+        live = ~occluded & relevant
+        t0 = (lo[:, None] - ro_p[:, :, None]) * inv_d[:, :, None]
+        t1 = (up[:, None] - ro_p[:, :, None]) * inv_d[:, :, None]
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin_p[:, :, None])
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), tmax_p[:, :, None])
+        hit = (tn <= tf) & active[:, None, None] & live[:, :, None]
+        packet_hit = jnp.any(hit, axis=1)
+        child = ic_node[node]
+        is_leaf = child < 0
+
+        for k in (0, 1):
+            do_leaf = packet_hit[:, k] & is_leaf[:, k]
+            start = jnp.where(do_leaf, ic_start[node, k], 0)
+            cnt = jnp.where(do_leaf, ic_count[node, k], 0)
+            for j in range(LEAF_MAX):
+                do = do_leaf & (j < cnt)
+                occluded = jax.lax.cond(
+                    jnp.any(do),
+                    lambda oc, s=start, jj=j, d=do: leaf_instance(s + jj, d, oc),
+                    lambda oc: oc,
+                    occluded,
+                )
+
+        push = packet_hit & ~is_leaf
+
+        def push_child(stack, sp, which, do_push):
+            ch = child[pidx, which]
+            pos = jnp.minimum(sp, STACK_DEPTH - 1)
+            stack = jnp.where(
+                (scol == pos[:, None]) & do_push[:, None], ch[:, None], stack
+            )
+            return stack, jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        stack, sp2 = push_child(stack, sp1, 0, push[:, 0] & active)
+        stack, sp3 = push_child(stack, sp2, 1, push[:, 1] & active)
+        all_done = jnp.all(occluded | ~relevant, axis=1)
+        sp3 = jnp.where(all_done, 0, sp3)
+        return stack, sp3, occluded
+
+    stack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
+    sp0 = jnp.ones((P,), jnp.int32)
+    _, _, occluded = jax.lax.while_loop(cond, body, (stack0, sp0, occluded))
+    return occluded
+
+
+def ent_to_gidx(accel, ent):
+    """Map (possibly virtual) entity ids to scene geometry ids."""
+    import jax.numpy as jnp
+
+    n_real = accel["ent_gidx"].shape[0]
+    g = accel["ent_gidx"][jnp.clip(ent, 0, n_real - 1)]
+    for ig in accel.get("inst_groups", ()):
+        inst = jnp.clip((ent - ig["vbase"]) // ig["stride"], 0, ig["n_inst"] - 1)
+        is_i = (ent >= ig["vbase"]) & (ent < ig["vbase"] + ig["n_inst"] * ig["stride"])
+        g = jnp.where(is_i, ig["inst_gidx"][inst], g)
+    return g
+
+
+def instanced_surface_info(accel, ent, p, out_p, out_n, out_uv):
+    """Overlay barycentric attrs for virtual (instanced) triangle hits:
+    local-space triangle tables + the instance transform (normals map through
+    the inverse-transpose)."""
+    import jax.numpy as jnp
+
+    for ig in accel.get("inst_groups", ()):
+        is_i = (ent >= ig["vbase"]) & (
+            ent < ig["vbase"] + ig["n_inst"] * ig["stride"]
+        )
+        rel = jnp.clip(ent - ig["vbase"], 0, ig["n_inst"] * ig["stride"] - 1)
+        inst = rel // ig["stride"]
+        tri = jnp.clip(rel % ig["stride"], 0, ig["n_tris"] - 1)
+        m = ig["inst_m"][inst].reshape(-1, 3, 4)       # local->world
+        mi = ig["inst_minv"][inst].reshape(-1, 3, 4)   # world->local
+        rows = ig["mesh"]["rows"][tri]
+        # world-space vertices
+        v0 = jnp.einsum("pab,pb->pa", m[:, :, :3], rows[:, 0:3]) + m[:, :, 3]
+        v1 = jnp.einsum("pab,pb->pa", m[:, :, :3], rows[:, 3:6]) + m[:, :, 3]
+        v2 = jnp.einsum("pab,pb->pa", m[:, :, :3], rows[:, 6:9]) + m[:, :, 3]
+        e1 = v1 - v0
+        e2 = v2 - v0
+        dp = p - v0
+        d11 = jnp.sum(e1 * e1, -1)
+        d12 = jnp.sum(e1 * e2, -1)
+        d22 = jnp.sum(e2 * e2, -1)
+        dp1 = jnp.sum(dp * e1, -1)
+        dp2 = jnp.sum(dp * e2, -1)
+        det = jnp.maximum(d11 * d22 - d12 * d12, 1e-20)
+        u = jnp.clip((d22 * dp1 - d12 * dp2) / det, 0.0, 1.0)
+        v = jnp.clip((d11 * dp2 - d12 * dp1) / det, 0.0, 1.0)
+        w = jnp.clip(1.0 - u - v, 0.0, 1.0)
+
+        def to_world_n(nl):
+            # normals transform by (M^-1)^T: n_w,a = sum_b mi[b,a] * nl[b]
+            nw = jnp.einsum("pba,pb->pa", mi[:, :, :3], nl)
+            return nw / jnp.maximum(
+                jnp.linalg.norm(nw, axis=-1, keepdims=True), 1e-20
+            )
+
+        n = to_world_n(rows[:, 9:12])
+        na = ig["tri_n"][tri]
+        nl = (
+            w[:, None] * na[:, 0:3] + u[:, None] * na[:, 3:6]
+            + v[:, None] * na[:, 6:9]
+        )
+        ln = jnp.linalg.norm(nl, axis=-1, keepdims=True)
+        smooth = ig["tri_has_n"][tri][:, None] & (ln > 1e-8)
+        n = jnp.where(smooth, to_world_n(nl / jnp.maximum(ln, 1e-8)), n)
+        uv = jnp.stack([u, v], -1)
+        ta = ig["tri_t"][tri]
+        uv_i = (
+            w[:, None] * ta[:, 0:2] + u[:, None] * ta[:, 2:4]
+            + v[:, None] * ta[:, 4:6]
+        )
+        uv = jnp.where(ig["tri_has_t"][tri][:, None], uv_i, uv)
+        mk = is_i[:, None]
+        out_n = jnp.where(mk, n, out_n)
+        out_uv = jnp.where(mk, uv, out_uv)
+    return out_p, out_n, out_uv
+
+
 def _use_pallas():
     """Pallas kernels only on real TPU backends (tests run on CPU where the
     XLA packet walk is the reference implementation)."""
@@ -379,17 +757,38 @@ def packet_intersect(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
     if _use_pallas():
         from pine_tpu.accel import pallas_traverse as PT
 
-        if all(PT.group_supports_pallas(g) for g in accel["groups"]):
+        regular = [g for g in accel["groups"] if g["kind"] != "instanced"]
+        inst = [g for g in accel["groups"] if g["kind"] == "instanced"]
+        if all(PT.group_supports_pallas(g) for g in regular):
             best_t = jnp.asarray(tmax, jnp.float32)
             best_e = jnp.full(ro.shape[:1], -1, jnp.int32)
             limit = best_t
-            for g in accel["groups"]:
+            for g in regular:
                 t_new, e_loc = PT.pallas_group_query(
                     g, ro, rd, tmin, best_t, best_t, best_e, any_hit=False
                 )
                 changed = t_new < best_t
                 best_e = jnp.where(changed, g["base"] + e_loc, best_e)
                 best_t = t_new
+            if inst:
+                # instanced groups run the two-level XLA packet walk
+                ro2, rd2, tmin2, bt2, n0 = _pad_rays(ro, rd, tmin, best_t, K)
+                be2 = jnp.concatenate(
+                    [best_e, jnp.full((ro2.shape[0] - n0,), -1, jnp.int32)]
+                ) if ro2.shape[0] != n0 else best_e
+                P = ro2.shape[0] // K
+                ro_p = ro2.reshape(P, K, 3)
+                rd_p = rd2.reshape(P, K, 3)
+                tmin_p = tmin2.reshape(P, K)
+                bt_p = bt2.reshape(P, K)
+                be_p = be2.reshape(P, K)
+                inv_d = _safe_inv(rd_p)
+                for g in inst:
+                    bt_p, be_p = _packet_traverse_instanced(
+                        g, ro_p, rd_p, tmin_p, bt_p, be_p, inv_d
+                    )
+                best_t = bt_p.reshape(-1)[:n0]
+                best_e = be_p.reshape(-1)[:n0]
             t_out = jnp.where(best_t < limit, best_t, BIG)
             return t_out, jnp.maximum(best_e, 0)
 
@@ -411,6 +810,10 @@ def packet_intersect(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
             better = tb < best_t
             best_t = jnp.where(better, tb, best_t)
             best_e = jnp.where(better, g["base"] + arg, best_e)
+        elif g["kind"] == "instanced":
+            best_t, best_e = _packet_traverse_instanced(
+                g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d
+            )
         else:
             best_t, best_e = _packet_traverse_group(
                 g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d
@@ -501,14 +904,34 @@ def packet_any_hit(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
     if _use_pallas():
         from pine_tpu.accel import pallas_traverse as PT
 
-        if all(PT.group_supports_pallas(g) for g in accel["groups"]):
+        regular = [g for g in accel["groups"] if g["kind"] != "instanced"]
+        inst = [g for g in accel["groups"] if g["kind"] == "instanced"]
+        if all(PT.group_supports_pallas(g) for g in regular):
             occ = jnp.zeros(ro.shape[:1], jnp.int32)
             tmax_f = jnp.asarray(tmax, jnp.float32)
-            for g in accel["groups"]:
+            for g in regular:
                 _, occ = PT.pallas_group_query(
                     g, ro, rd, tmin, tmax_f, tmax_f, occ, any_hit=True
                 )
-            return occ != 0
+            occ = occ != 0
+            if inst:
+                ro2, rd2, tmin2, tmax2, n0 = _pad_rays(ro, rd, tmin, tmax_f, K)
+                occ2 = jnp.concatenate(
+                    [occ, jnp.zeros((ro2.shape[0] - n0,), bool)]
+                ) if ro2.shape[0] != n0 else occ
+                P = ro2.shape[0] // K
+                ro_p = ro2.reshape(P, K, 3)
+                rd_p = rd2.reshape(P, K, 3)
+                tmin_p = tmin2.reshape(P, K)
+                tmax_p = tmax2.reshape(P, K)
+                occ_p = occ2.reshape(P, K)
+                inv_d = _safe_inv(rd_p)
+                for g in inst:
+                    occ_p = _packet_anyhit_instanced(
+                        g, ro_p, rd_p, tmin_p, tmax_p, occ_p, inv_d
+                    )
+                occ = occ_p.reshape(-1)[:n0]
+            return occ
 
     ro, rd, tmin, tmax, n = _pad_rays(ro, rd, tmin, tmax, K)
     P = ro.shape[0] // K
@@ -523,6 +946,10 @@ def packet_any_hit(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
         if g["kind"] == "dense":
             t = _group_dense_t(g, ro_p, rd_p, tmin_p, tmax_p)
             occluded = occluded | jnp.any(t < BIG, axis=-1)
+        elif g["kind"] == "instanced":
+            occluded = _packet_anyhit_instanced(
+                g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d
+            )
         else:
             occluded = _packet_anyhit_group(
                 g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d

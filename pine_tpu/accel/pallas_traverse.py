@@ -936,6 +936,8 @@ def _grid_hbm(g):
 
 def group_supports_pallas(g):
     """Eligibility: a scalar test exists and tables fit on-chip budgets."""
+    if g.get("kind") == "instanced":
+        return False  # two-level instancing runs the XLA packet walk
     if g["tid"] not in PRIM_TESTS:
         return False
     if _grid_eligible(g):

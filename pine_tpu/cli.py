@@ -10,12 +10,42 @@ import sys
 import time
 
 
+USAGE = """usage: pine <file.pine> [--progressive N] [--progressive-dir DIR]
+
+--progressive N      snapshot the film every N samples per pixel (the
+                     TPU-native analog of the reference's interactive
+                     accumulation viewer, path_opengl.cpp:11-127); CPU
+                     backends write snapshots live, TPU flushes at exit
+--progressive-dir D  snapshot directory (default: progressive/)"""
+
+
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 1:
-        print("usage: pine <file.pine>")
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    from pine_tpu.core import options
+
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--progressive":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit() or int(argv[i + 1]) < 1:
+                print("error: --progressive requires a positive integer")
+                return 1
+            options.progressive_every = int(argv[i + 1])
+            i += 2
+        elif a == "--progressive-dir":
+            if i + 1 >= len(argv):
+                print("error: --progressive-dir requires a path")
+                return 1
+            options.progressive_dir = argv[i + 1]
+            i += 2
+        else:
+            args.append(a)
+            i += 1
+    if len(args) != 1:
+        print(USAGE)
         return 1
-    path = argv[0]
+    path = args[0]
     from pine_tpu.core.profiler import Profiler
     from pine_tpu.core.progress import ProgressReporter
     from pine_tpu.prl.interp import interpret_file

@@ -53,22 +53,49 @@ class PathIntegrator:
         self.max_path_length = int(max_path_length)
 
     def render(self, scene):
+        from pine_tpu.core import options
+
         cscene = scene.compile()
         cam = scene.camera
         if cam is None:
             raise RuntimeError("scene has no camera")
         film = cam.film
         W, H = film.width, film.height
-        img = render_wavefront(
-            cscene,
-            cam,
-            W,
-            H,
-            self.sampler,
-            self.sampler.spp,
-            self.max_path_length,
-        )
-        film.set_rgb(img)  # device array: readback deferred to save-flush
+        spp = self.sampler.spp
+        every = options.progressive_every
+        if not every or every >= spp:
+            img = render_wavefront(
+                cscene, cam, W, H, self.sampler, spp, self.max_path_length,
+            )
+            film.set_rgb(img)  # device array: readback deferred to save-flush
+            return film
+
+        # progressive accumulation (the TPU analog of the reference's
+        # interactive viewer, path_opengl.cpp:11-127): render in sample
+        # batches, snapshot the running mean after each batch.  All math and
+        # queued snapshots stay on device; CPU backends flush live.
+        import os
+
+        from pine_tpu.core.film import flush_deferred_saves
+
+        os.makedirs(options.progressive_dir, exist_ok=True)
+        live = options.progressive_flush_live()
+        acc = None
+        done = 0
+        while done < spp:
+            b = min(every, spp - done)
+            img = render_wavefront(
+                cscene, cam, W, H, self.sampler, b, self.max_path_length,
+                sample_offset=done,
+            )
+            acc = img if acc is None else (acc * done + img * b) / (done + b)
+            done += b
+            film.set_rgb(acc)
+            film.save(
+                os.path.join(options.progressive_dir, f"snap_{done:05d}spp.png")
+            )
+            if live:
+                flush_deferred_saves()
         return film
 
 
@@ -125,7 +152,7 @@ def tile_order(W, H, tile=TILE):
 
 def render_wavefront(
     cscene, cam, W, H, sampler, spp, max_depth, seed=0, nee=True,
-    chunk=None, progress=None, return_stats=False,
+    chunk=None, progress=None, return_stats=False, sample_offset=0,
 ):
     """Render and return (H,W,3) mean radiance.
 
@@ -169,7 +196,7 @@ def render_wavefront(
         # dispatch path (~1000x slower calls; see core/capture.py)
         arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
 
-        def fn(xs, ys, n_valid, vals):
+        def fn(xs, ys, n_valid, vals, off):
             with bind(setters, vals):
                 # pad lanes (duplicates of the last pixel) are masked dead so
                 # the honest ray counter excludes them (ADVICE r2: ~12%
@@ -184,8 +211,10 @@ def render_wavefront(
                     )
                     return acc + L, nrays + r
 
+                # `off` is a traced argument so progressive batches at
+                # different sample offsets share one compiled program
                 total, nrays = jax.lax.fori_loop(
-                    0, spp, body,
+                    off, off + spp, body,
                     (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
                 )
                 return total / spp, nrays
@@ -211,7 +240,7 @@ def render_wavefront(
         n_valid = min(chunk, n - c * chunk)
         L, nrays = fn(
             jnp.asarray(xs_all[sl], jnp.int32), jnp.asarray(ys_all[sl], jnp.int32),
-            jnp.int32(n_valid), bound_arrays,
+            jnp.int32(n_valid), bound_arrays, jnp.int32(sample_offset),
         )
         chunks.append(L)
         ray_counts.append(nrays)

@@ -23,6 +23,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pine_tpu.integrators.path import path_trace_sample
 
 
+def _to_varying(x, axis):
+    """Mark a replicated value device-varying (pvary was deprecated for
+    pcast in jax 0.9; support both so older jaxes keep working)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
 def make_device_mesh(n_devices=None, axis="d"):
     devs = jax.devices()[: (n_devices or len(jax.devices()))]
     return Mesh(np.asarray(devs), (axis,))
@@ -55,7 +64,7 @@ def render_sample_sharded(cscene, cam, W, H, sampler, spp, max_depth, mesh, axis
 
             init = jnp.zeros((n, 3), jnp.float32)
             # the carry is device-varying (sample_index depends on axis_index)
-            init = jax.lax.pvary(init, (axis,))
+            init = _to_varying(init, axis)
             total = jax.lax.fori_loop(0, local_spp, body, init)
             return jax.lax.psum(total, axis) / spp
 
@@ -87,7 +96,7 @@ def render_tile_sharded(cscene, cam, W, H, sampler, spp, max_depth, mesh, axis="
                     cscene, cam_params, xs, ys, W, H, sampler, i, max_depth
                 )
 
-            init = jax.lax.pvary(jnp.zeros((xs.shape[0], 3), jnp.float32), (axis,))
+            init = _to_varying(jnp.zeros((xs.shape[0], 3), jnp.float32), axis)
             total = jax.lax.fori_loop(0, spp, body, init)
             return total / spp
 

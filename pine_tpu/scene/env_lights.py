@@ -72,21 +72,24 @@ def _sc_of_dir(wo):
     return jnp.stack([phi / (2 * Pi), (1.0 - d[..., 2]) / 2.0], axis=-1)
 
 
-def atmosphere_color(direction, sun_dir, n_samples=8, simulate_real_sun=False):
+def atmosphere_color(direction, sun_dir, n_samples=8, simulate_real_sun=False, xp=jnp):
     """Single-scatter Rayleigh+Mie sky (color.cpp:41-104), batched.
+
+    ``xp`` picks the array backend: jnp at render time; np for the
+    one-time importance-map build (host-side: no device readback).
 
     Deviation: the reference's sun-ward march uses squared distance where it
     means distance (color.cpp:76); we use the correct height term.
     """
-    beta_r = jnp.asarray([3.8e-6, 13.5e-6, 33.1e-6])
-    beta_m = jnp.asarray([21e-6, 21e-6, 21e-6])
+    beta_r = xp.asarray([3.8e-6, 13.5e-6, 33.1e-6])
+    beta_m = xp.asarray([21e-6, 21e-6, 21e-6])
     atmosphere_radius, planet_radius = 6420e3, 6360e3
     Hr, Hm = 1.0 / 7995.0, 1.0 / 1200.0
     n_light = n_samples // 2
-    sun = jnp.asarray(sun_dir, jnp.float32)
-    sun = sun / jnp.linalg.norm(sun)
+    sun = xp.asarray(sun_dir, xp.float32)
+    sun = sun / xp.linalg.norm(sun)
 
-    mu = dot(direction, sun)
+    mu = xp.sum(direction * sun, -1)
     phase_r = 3.0 / (16.0 * Pi) * (1.0 + mu * mu)
     g = 0.76
     phase_m = (
@@ -94,58 +97,65 @@ def atmosphere_color(direction, sun_dir, n_samples=8, simulate_real_sun=False):
         / (8.0 * Pi)
         * (1.0 - g * g)
         * (1.0 + mu * mu)
-        / ((2.0 + g * g) * jnp.power(jnp.maximum(1.0 + g * g - 2.0 * g * mu, 1e-6), 1.5))
+        / ((2.0 + g * g) * xp.power(xp.maximum(1.0 + g * g - 2.0 * g * mu, 1e-6), 1.5))
     )
 
-    o = jnp.asarray([0.0, planet_radius, 0.0])
-    b = dot(jnp.broadcast_to(o, direction.shape), direction)
+    o = xp.asarray([0.0, planet_radius, 0.0])
+    b = xp.sum(xp.broadcast_to(o, direction.shape) * direction, -1)
     c = float(np.dot([0, planet_radius, 0], [0, planet_radius, 0])) - atmosphere_radius**2
-    tmax = -b + jnp.sqrt(jnp.maximum(b * b - c, 0.0))
+    tmax = -b + xp.sqrt(xp.maximum(b * b - c, 0.0))
     seg = tmax / n_samples
 
-    sum_r = jnp.zeros(direction.shape[:-1] + (3,))
-    sum_m = jnp.zeros(direction.shape[:-1] + (3,))
-    od_r = jnp.zeros(direction.shape[:-1])
-    od_m = jnp.zeros(direction.shape[:-1])
-    dead = jnp.zeros(direction.shape[:-1], bool)
-    t_cur = jnp.zeros(direction.shape[:-1])
+    sum_r = xp.zeros(direction.shape[:-1] + (3,))
+    sum_m = xp.zeros(direction.shape[:-1] + (3,))
+    od_r = xp.zeros(direction.shape[:-1])
+    od_m = xp.zeros(direction.shape[:-1])
+    dead = xp.zeros(direction.shape[:-1], bool)
+    t_cur = xp.zeros(direction.shape[:-1])
 
     for i in range(n_samples):
         sp = o + (t_cur + seg * 0.5)[..., None] * direction
-        height = jnp.linalg.norm(sp, axis=-1) - planet_radius
+        height = xp.linalg.norm(sp, axis=-1) - planet_radius
         dead = dead | (height <= 0)
-        hr = jnp.exp(-height * Hr) * seg
-        hm = jnp.exp(-height * Hm) * seg
-        od_r = od_r + jnp.where(dead, 0.0, hr)
-        od_m = od_m + jnp.where(dead, 0.0, hm)
+        # clamp exponents: below-ground samples (masked out by `dead`)
+        # must not manufacture inf/NaN (overflow warnings on host; the
+        # TPU backend drops into a permanent slow mode on non-finites)
+        hr = xp.exp(xp.clip(-height * Hr, -60.0, 60.0)) * seg
+        hm = xp.exp(xp.clip(-height * Hm, -60.0, 60.0)) * seg
+        od_r = od_r + xp.where(dead, 0.0, hr)
+        od_m = od_m + xp.where(dead, 0.0, hm)
 
-        bl = dot(sp, sun)
-        cl = jnp.sum(sp * sp, -1) - atmosphere_radius**2
-        lt_max = -bl + jnp.sqrt(jnp.maximum(bl * bl - cl, 0.0))
+        bl = xp.sum(sp * sun, -1)
+        cl = xp.sum(sp * sp, -1) - atmosphere_radius**2
+        lt_max = -bl + xp.sqrt(xp.maximum(bl * bl - cl, 0.0))
         seg_l = lt_max / max(n_light, 1)
-        od_rl = jnp.zeros_like(od_r)
-        od_ml = jnp.zeros_like(od_m)
-        light_dead = jnp.zeros_like(dead)
+        od_rl = xp.zeros_like(od_r)
+        od_ml = xp.zeros_like(od_m)
+        light_dead = xp.zeros_like(dead)
         lt = seg_l * 0.5
         for _ in range(n_light):
             lp = sp + lt[..., None] * sun
-            hl = jnp.linalg.norm(lp, axis=-1) - planet_radius
+            hl = xp.linalg.norm(lp, axis=-1) - planet_radius
             light_dead = light_dead | (hl < 0)
-            od_rl = od_rl + jnp.where(light_dead, 0.0, jnp.exp(-hl * Hr) * seg_l)
-            od_ml = od_ml + jnp.where(light_dead, 0.0, jnp.exp(-hl * Hm) * seg_l)
+            od_rl = od_rl + xp.where(
+                light_dead, 0.0, xp.exp(xp.clip(-hl * Hr, -60.0, 60.0)) * seg_l
+            )
+            od_ml = od_ml + xp.where(
+                light_dead, 0.0, xp.exp(xp.clip(-hl * Hm, -60.0, 60.0)) * seg_l
+            )
             lt = lt + seg_l
         tau = beta_r * (od_r + od_rl)[..., None] + beta_m * (od_m + od_ml)[..., None]
-        tr = jnp.exp(-tau)
+        tr = xp.exp(-tau)
         ok = (~dead & ~light_dead)[..., None]
-        sum_r = sum_r + jnp.where(ok, tr * hr[..., None], 0.0)
-        sum_m = sum_m + jnp.where(ok, tr * hm[..., None], 0.0)
+        sum_r = sum_r + xp.where(ok, tr * hr[..., None], 0.0)
+        sum_m = sum_m + xp.where(ok, tr * hm[..., None], 0.0)
         t_cur = t_cur + seg
 
     color = sum_r * beta_r * phase_r[..., None] + sum_m * beta_m * phase_m[..., None]
-    mult = jnp.full(3, 5.0)
+    mult = xp.full(3, 5.0)
     if simulate_real_sun:
         sun_disk = (mu > 0.998)[..., None]
-        color = color * jnp.where(sun_disk, mult * 1000.0 * jnp.asarray([1.0, 0.9, 0.8]), mult)
+        color = color * xp.where(sun_disk, mult * 1000.0 * xp.asarray([1.0, 0.9, 0.8]), mult)
     else:
         color = color * mult
     return color
@@ -157,19 +167,30 @@ class Atmosphere(EnvironmentLight):
 
     is_delta = False
 
-    def __init__(self, sun_direction, sun_color, image_size=(256, 256)):
+    def __init__(self, sun_direction, sun_color, image_size=(1024, 1024)):
+        # 1024^2 matches the reference default (light.h:69) — at 256^2 the
+        # ~0.5 deg sun disk spans under a pixel of the importance map and
+        # sun-lit scenes get visibly noisier sampling
         self.sun_direction = np.asarray(sun_direction, np.float64)
         self.sun_direction /= np.linalg.norm(self.sun_direction)
         self.sun_direction = self.sun_direction.astype(np.float32)
         self.sun_color = np.asarray(sun_color, np.float32)
         w, h = image_size
         ys, xs = np.meshgrid(
-            (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+            (np.arange(h, dtype=np.float32) + 0.5) / h,
+            (np.arange(w, dtype=np.float32) + 0.5) / w, indexing="ij",
         )
-        sc = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2), jnp.float32)
-        wo = _swap_yz(uniform_sphere(sc))
-        col = np.asarray(
-            atmosphere_color(wo, self.sun_direction, 8, simulate_real_sun=True)
+        # host-side (numpy) build: a jnp build would round-trip ~1M lanes
+        # through the device and read them back, which both crawls through
+        # eager per-op dispatch and poisons the TPU dispatch path
+        phi = xs.reshape(-1) * (2 * np.pi)
+        cos_t = 1.0 - 2.0 * ys.reshape(-1)
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t**2, 0.0))
+        wo = np.stack(
+            [sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], axis=-1
+        ).astype(np.float32)  # y/z swapped uniform_sphere (light.cpp:100-115)
+        col = atmosphere_color(
+            wo, self.sun_direction, 8, simulate_real_sun=True, xp=np
         )
         density = np.linalg.norm(col, axis=-1).reshape(h, w)
         self.distr = Distribution2D(density)

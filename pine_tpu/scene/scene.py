@@ -21,11 +21,18 @@ from pine_tpu.scene import shapes as S
 
 BIG = I.BIG
 
+# Instancings whose realized size stays under this many triangle rows are
+# flattened into the unified BVH (the small-count fast path); above it they
+# keep O(mesh) memory via lazy two-level traversal (geometry.h:371-390,
+# Embree RTC instancing).
+FLATTEN_LIMIT = 200_000
+
 
 class Scene:
     def __init__(self):
         self.materials = {}  # name -> Material
         self.geometries = []  # (shape, material)
+        self.instancings = []  # InstancedShape kept lazy (two-level accel)
         self.lights = []
         self.mediums = []
         self.env_light = None
@@ -60,9 +67,24 @@ class Scene:
             return self.add_geometry(args[0], args[1])
         (x,) = args
         if isinstance(x, S.InstancedShape):
-            # realize instances at compile time (scene.cpp add(Instancing))
-            for m, mat in x.instances:
-                self.add_geometry(x.shape.transformed(m), mat)
+            n_rows = (
+                len(x.instances) * x.shape.num_triangles()
+                if isinstance(x.shape, S.Mesh) else 0
+            )
+            emissive = any(mat.is_emissive() for _, mat in x.instances)
+            if (
+                not isinstance(x.shape, S.Mesh)
+                or emissive  # area-light sampling needs realized geometry
+                or n_rows <= FLATTEN_LIMIT
+            ):
+                # small counts realize at compile time (scene.cpp
+                # add(Instancing)) — the flattened fast path
+                for m, mat in x.instances:
+                    self.add_geometry(x.shape.transformed(m), mat)
+            else:
+                # lazy two-level: O(mesh) memory regardless of instance count
+                self.instancings.append(x)
+                self._compiled = None
             return x
         if isinstance(x, L.Light):
             self.lights.append(x)
@@ -95,6 +117,16 @@ class Scene:
             a, b = shape.get_aabb()
             lo = np.minimum(lo, a)
             up = np.maximum(up, b)
+        for inst in self.instancings:
+            a, b = inst.shape.get_aabb()
+            corners = np.array(
+                [[x, y, z] for x in (a[0], b[0]) for y in (a[1], b[1])
+                 for z in (a[2], b[2])], np.float32,
+            )
+            for m, _ in inst.instances:
+                wc = corners @ m[:3, :3].T + m[:3, 3]
+                lo = np.minimum(lo, wc.min(0))
+                up = np.maximum(up, wc.max(0))
         return lo, up
 
     def compile(self):
@@ -206,6 +238,32 @@ class CompiledScene:
             if mat.is_emissive():
                 area_lights.append(L.AreaLight(shape, mat, gidx))
 
+        # lazy instancings: one global entry PER INSTANCE (materials differ),
+        # but geometry memory stays O(mesh) — the accel stores the mesh once
+        inst_records = []
+        for inst in scene.instancings:
+            gidx_list = []
+            minv_list, m_list = [], []
+            for m, mat in inst.instances:
+                m = np.asarray(m, np.float32)
+                gidx = len(g_type)
+                g_type.append(S.MESH_TYPE)
+                g_local.append(0)
+                g_mat.append(mat_slot(mat))
+                gidx_list.append(gidx)
+                m_list.append(m[:3, :4].reshape(12))
+                mi = np.linalg.inv(m).astype(np.float32)
+                minv_list.append(mi[:3, :4].reshape(12))
+            inst_records.append(
+                dict(
+                    mesh=inst.shape,
+                    m=np.stack(m_list),
+                    minv=np.stack(minv_list),
+                    gidx=np.asarray(gidx_list, np.int32),
+                )
+            )
+        self.inst_records = inst_records
+
         self.materials = mat_slots
         self.n_global = len(g_type)
         self.g_type = np.asarray(g_type, np.int32)
@@ -244,10 +302,12 @@ class CompiledScene:
         # VPU wins outright (SURVEY.md §7 hard parts: "cbox has ~20 shapes").
         n_tris = sum(m.num_triangles() for m, _ in self.meshes)
         self.unified = None
-        if self.meshes or len(analytic_entities) + n_tris > 24:
+        if self.meshes or inst_records or len(analytic_entities) + n_tris > 24:
             from pine_tpu.accel.packet import build_packet_accel
 
-            self.unified = build_packet_accel(analytic_entities, self.meshes)
+            self.unified = build_packet_accel(
+                analytic_entities, self.meshes, instanced=inst_records
+            )
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):
@@ -268,9 +328,11 @@ class CompiledScene:
                 jnp.broadcast_to(jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, (n,)),
                 jnp.broadcast_to(jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)),
             )
+            from pine_tpu.accel.packet import ent_to_gidx
+
             better = t < best_t
             best_t = jnp.where(better, t, best_t)
-            best_g = jnp.where(better, self.unified["ent_gidx"][ent], best_g)
+            best_g = jnp.where(better, ent_to_gidx(self.unified, ent), best_g)
             mesh_tri = jnp.where(better, ent, mesh_tri)
         else:
             for tid, params in self.tables.items():
@@ -358,6 +420,14 @@ class CompiledScene:
             out_p = jnp.where(m, pc, out_p)
             out_n = jnp.where(m, nn, out_n)
             out_uv = jnp.where(m, uv, out_uv)
+        if self.unified is not None and self.unified.get("inst_groups") and (
+            mesh_tri is not None
+        ):
+            from pine_tpu.accel.packet import instanced_surface_info
+
+            out_p, out_n, out_uv = instanced_surface_info(
+                self.unified, mesh_tri, p, out_p, out_n, out_uv
+            )
         return out_p, out_n, out_uv
 
     def light_pdf_at_hit(self, gidx, ro, rd, t, ns):

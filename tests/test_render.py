@@ -110,3 +110,45 @@ def test_instancing_two_level():
     right = img[:, 18:].mean(axis=(0, 1))
     assert left[0] > 2 * left[1], left    # left instance is red
     assert right[1] > 2 * right[0], right  # right instance is green
+
+
+def test_progressive_snapshots(tmp_path):
+    """--progressive N: batched accumulation writes refining snapshots and
+    the final mean equals the one-shot render (same sample set)."""
+    import jax.numpy as jnp
+
+    from pine_tpu.core import options
+    from pine_tpu.core.camera import ThinLenCamera
+    from pine_tpu.core.film import Film, flush_deferred_saves
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.path import PathIntegrator
+    from pine_tpu.scene import materials as M, shapes as S
+    from pine_tpu.scene.scene import Scene
+
+    def build():
+        sc = Scene()
+        sc.add(S.Rect([0, 2, 0], [1, 0, 0], [0, 0, 1]), M.Emissive([10, 10, 10]))
+        sc.add(S.Sphere([0, 0, 0], 0.5), M.Diffuse([0.7, 0.6, 0.5]))
+        sc.add(S.Plane([0, -0.5, 0], [0, 1, 0]), M.Diffuse([0.8, 0.8, 0.8]))
+        sc.set(ThinLenCamera(Film([12, 12]), [0, 0.6, -2.5], [0, 0, 0], 0.5))
+        return sc
+
+    sc1 = build()
+    PathIntegrator(UniformSampler(8), 2).render(sc1)
+    ref = np.asarray(sc1.camera.film.finalized_device())
+
+    options.progressive_every = 2
+    options.progressive_dir = str(tmp_path)
+    try:
+        sc2 = build()
+        PathIntegrator(UniformSampler(8), 2).render(sc2)
+        flush_deferred_saves()
+    finally:
+        options.progressive_every = None
+        options.progressive_dir = "progressive"
+    import os
+
+    snaps = sorted(os.listdir(tmp_path))
+    assert len(snaps) == 4, snaps
+    got = np.asarray(sc2.camera.film.finalized_device())
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
