@@ -726,7 +726,13 @@ def make_registry(interp):
         )
 
     @register("film")
-    def _film_of(cam):
+    def _film_of(cam=None):
+        """Film of a camera (film.cpp:97-120 registers it on the camera —
+        script idiom: ``scene.camera.film()``)."""
+        if cam is None:
+            raise TypeError(
+                "film() takes the camera — write `scene.camera.film()`"
+            )
         return cam.film
 
     # ---- samplers (sampler.cpp:167-200) ------------------------------------
