@@ -359,8 +359,11 @@ def _make_bvh_kernel(tid, width, any_hit):
             sp2 = sp2 + second_p.astype(jnp.int32)
             sp2 = jnp.minimum(sp2, STACK_DEPTH - 2)
             if any_hit:
-                # drain once every lane is occluded
-                sp2 = jnp.where(jnp.all(best_e != 0), 0, sp2)
+                # drain once every RELEVANT lane is occluded (lanes with
+                # tmax <= tmin ask no occlusion question — e.g. non-NEE
+                # lanes masked with tmax=-1)
+                done = (best_e != 0) | (tmx[:] <= tmn[:])
+                sp2 = jnp.where(jnp.all(done), 0, sp2)
             return sp2, best_t, best_e
 
         def cond(state):
@@ -720,7 +723,8 @@ def _make_sctree_kernel(tid, width, n_prims, any_hit):
             sp2 = sp2 + second_p.astype(jnp.int32)
             sp2 = jnp.minimum(sp2, STACK_DEPTH - 2)
             if any_hit:
-                sp2 = jnp.where(jnp.all(be_s[:] != 0), 0, sp2)
+                done = (be_s[:] != 0) | (tmx[:] <= tmn[:])
+                sp2 = jnp.where(jnp.all(done), 0, sp2)
             return sp2
 
         jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))

@@ -169,6 +169,11 @@ class Scene:
         for shape, mat in self.geometries:
             add(shape)
             add(mat)
+        for inst in self.instancings:
+            add(inst.shape)
+            for m, mat in inst.instances:
+                add(m)
+                add(mat)
         for li in self.lights:
             add(li)
         for m in self.mediums:
@@ -308,6 +313,19 @@ class CompiledScene:
             self.unified = build_packet_accel(
                 analytic_entities, self.meshes, instanced=inst_records
             )
+        # mesh-scale/instanced scenes benefit from dead-lane tmax masking in
+        # the wavefront (integrators/path.py); tiny dense scenes do not
+        from pine_tpu.accel.pallas_traverse import GRID_MAX_PRIMS
+
+        self.heavy_traversal = bool(self.unified) and (
+            bool(self.unified.get("inst_groups"))
+            or any(
+                g.get("_prim_aabbs") is not None
+                and g["_prim_aabbs"].shape[0] > GRID_MAX_PRIMS
+                for g in self.unified["groups"]
+                if g["kind"] != "instanced"
+            )
+        )
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):

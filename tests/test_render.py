@@ -148,7 +148,9 @@ def test_progressive_snapshots(tmp_path):
         options.progressive_dir = "progressive"
     import os
 
-    snaps = sorted(os.listdir(tmp_path))
+    snaps = sorted(f for f in os.listdir(tmp_path) if f.startswith("snap_"))
     assert len(snaps) == 4, snaps
+    assert (tmp_path / "latest.png").exists()   # live-view target
+    assert (tmp_path / "index.html").exists()   # auto-refreshing viewer page
     got = np.asarray(sc2.camera.film.finalized_device())
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
