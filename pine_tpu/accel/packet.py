@@ -284,6 +284,9 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                 inst_gidx=jnp.asarray(
                     np.concatenate([gidxs, np.zeros(pad_i, np.int32)])
                 ),
+                _inst_aabbs=jnp.asarray(
+                    np.concatenate([ilo, ihi], axis=1)[iorder].astype(np.float32)
+                ),
                 tri_n=jnp.asarray(
                     np.concatenate([n_attr[order], np.zeros((LEAF_MAX, 9), np.float32)])
                 ),
@@ -311,7 +314,17 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
 
     for g in groups:
         if g["kind"] == "instanced":
-            continue  # instanced traversal runs the XLA packet walk
+            # the TPU fast path (accel/instanced_pallas.py) sweeps the shared
+            # mesh subtree with the regular Pallas kernels: prebuild its
+            # layouts outside any trace (capture.py discipline)
+            sub = g["mesh"]
+            if PT._grid_eligible(sub):
+                PT._grid_layout(sub)
+                if PT._grid_hbm(sub):
+                    PT._sc_tree_layout(sub)
+            else:
+                PT._group_smem_arrays(sub)
+            continue
         if g["tid"] in PT.PRIM_TESTS:
             if PT._grid_eligible(g):
                 PT._grid_layout(g)
@@ -488,10 +501,16 @@ def _xform_rays(minv, ro_p, rd_p):
 
 
 def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
-    """Two-level closest hit: outer packet walk over the instance tree; a
-    taken instance leaf transforms the packet into instance-local space and
-    runs the shared mesh subtree (the TPU shape of Embree RTC instancing /
-    geometry.h:371-390).  best_e gets virtual ids vbase + inst*stride + tri."""
+    """Two-level closest hit: outer packet walk over the instance tree; taken
+    instance leaves are queued per packet row and drained through ONE shared
+    inner mesh walk (the TPU shape of Embree RTC instancing,
+    geometry.h:371-390).  best_e gets virtual ids vbase + inst*stride + tri.
+
+    The queue matters: instantiating the inner while_loop per leaf slot (the
+    first design) nested 16 loops per path depth and crashed the TPU worker
+    at depth 3 — this form embeds exactly ONE inner walk in the program, with
+    rows draining their queued instances near-first (best-t pruned) while
+    other rows keep descending."""
     import jax
     import jax.numpy as jnp
 
@@ -505,7 +524,7 @@ def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
     far_o = jnp.full((P, K, 3), 2.0 * BIG, jnp.float32)
 
     def leaf_instance(slot, do, best_t, best_e):
-        """Run the shared mesh walk for one per-row instance slot."""
+        """Shared-mesh walk for one per-row instance slot (masked by do)."""
         slot = jnp.where(do, slot, 0)
         minv = g["inst_minv"][slot]  # (P,12)
         ol, dl = _xform_rays(minv, ro_p, rd_p)
@@ -518,13 +537,22 @@ def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
             sub_g, ol, dl, tmin_p, best_t, best_e, _safe_inv(dl)
         )
 
-    def cond(state):
-        _, sp, _, _ = state
-        return jnp.any(sp > 0)
-
     def body(state):
-        stack, sp, best_t, best_e = state
-        active = sp > 0
+        stack, sp, istack, isp, best_t, best_e = state
+
+        # ---- instance phase: rows with queued instances drain one --------
+        has_inst = isp > 0
+        isp1 = jnp.where(has_inst, isp - 1, isp)
+        slot = istack[pidx, jnp.maximum(isp1, 0)]
+        best_t, best_e = jax.lax.cond(
+            jnp.any(has_inst),
+            lambda bt, be: leaf_instance(slot, has_inst, bt, be),
+            lambda bt, be: (bt, be),
+            best_t, best_e,
+        )
+
+        # ---- node phase: remaining rows pop the node stack ---------------
+        active = ~has_inst & (sp > 0)
         sp1 = jnp.where(active, sp - 1, sp)
         node = jnp.where(active, stack[pidx, jnp.maximum(sp1, 0)], 0)
         lo = ic_lower[node]
@@ -539,20 +567,20 @@ def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
         child = ic_node[node]
         is_leaf = child < 0
 
-        for k in (0, 1):
+        # queue this node's leaf instances (near child first: pushed last)
+        isp2 = isp1
+        for k in (1, 0):
             do_leaf = packet_hit[:, k] & is_leaf[:, k]
             start = jnp.where(do_leaf, ic_start[node, k], 0)
             cnt = jnp.where(do_leaf, ic_count[node, k], 0)
-            for j in range(LEAF_MAX):
-                do = do_leaf & (j < cnt)
-                best_t, best_e = jax.lax.cond(
-                    jnp.any(do),
-                    lambda bt, be, s=start, jj=j, d=do: leaf_instance(
-                        s + jj, d, bt, be
-                    ),
-                    lambda bt, be: (bt, be),
-                    best_t, best_e,
+            for j in range(LEAF_MAX - 1, -1, -1):
+                push = do_leaf & (j < cnt)
+                pos = jnp.minimum(isp2, STACK_DEPTH - 1)
+                istack = jnp.where(
+                    (scol == pos[:, None]) & push[:, None],
+                    (start + j)[:, None], istack,
                 )
+                isp2 = jnp.where(push, jnp.minimum(isp2 + 1, STACK_DEPTH), isp2)
 
         push = packet_hit & ~is_leaf
         tn_min = jnp.min(tn, axis=1)
@@ -570,18 +598,25 @@ def _packet_traverse_instanced(g, ro_p, rd_p, tmin_p, best_t, best_e, inv_d):
 
         stack, sp2 = push_child(stack, sp1, first, push[pidx, first] & active)
         stack, sp3 = push_child(stack, sp2, second, push[pidx, second] & active)
-        return stack, sp3, best_t, best_e
+        return stack, sp3, istack, isp2, best_t, best_e
+
+    def cond(state):
+        _, sp, _, isp, _, _ = state
+        return jnp.any((sp > 0) | (isp > 0))
 
     stack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
     sp0 = jnp.ones((P,), jnp.int32)
-    _, _, best_t, best_e = jax.lax.while_loop(
-        cond, body, (stack0, sp0, best_t, best_e)
+    istack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
+    isp0 = jnp.zeros((P,), jnp.int32)
+    _, _, _, _, best_t, best_e = jax.lax.while_loop(
+        cond, body, (stack0, sp0, istack0, isp0, best_t, best_e)
     )
     return best_t, best_e
 
 
 def _packet_anyhit_instanced(g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d):
-    """Two-level occlusion walk (early exit once every relevant ray is hit)."""
+    """Two-level occlusion walk with the same single-inner-walk queue form
+    (early exit once every relevant ray is occluded)."""
     import jax
     import jax.numpy as jnp
 
@@ -604,13 +639,20 @@ def _packet_anyhit_instanced(g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d):
             sub, ol, dl, tmin_p, tmax_p, occluded, _safe_inv(dl)
         )
 
-    def cond(state):
-        _, sp, _ = state
-        return jnp.any(sp > 0)
-
     def body(state):
-        stack, sp, occluded = state
-        active = sp > 0
+        stack, sp, istack, isp, occluded = state
+
+        has_inst = isp > 0
+        isp1 = jnp.where(has_inst, isp - 1, isp)
+        slot = istack[pidx, jnp.maximum(isp1, 0)]
+        occluded = jax.lax.cond(
+            jnp.any(has_inst),
+            lambda oc: leaf_instance(slot, has_inst, oc),
+            lambda oc: oc,
+            occluded,
+        )
+
+        active = ~has_inst & (sp > 0)
         sp1 = jnp.where(active, sp - 1, sp)
         node = jnp.where(active, stack[pidx, jnp.maximum(sp1, 0)], 0)
         lo = ic_lower[node]
@@ -625,18 +667,19 @@ def _packet_anyhit_instanced(g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d):
         child = ic_node[node]
         is_leaf = child < 0
 
+        isp2 = isp1
         for k in (0, 1):
             do_leaf = packet_hit[:, k] & is_leaf[:, k]
             start = jnp.where(do_leaf, ic_start[node, k], 0)
             cnt = jnp.where(do_leaf, ic_count[node, k], 0)
             for j in range(LEAF_MAX):
-                do = do_leaf & (j < cnt)
-                occluded = jax.lax.cond(
-                    jnp.any(do),
-                    lambda oc, s=start, jj=j, d=do: leaf_instance(s + jj, d, oc),
-                    lambda oc: oc,
-                    occluded,
+                push = do_leaf & (j < cnt)
+                pos = jnp.minimum(isp2, STACK_DEPTH - 1)
+                istack = jnp.where(
+                    (scol == pos[:, None]) & push[:, None],
+                    (start + j)[:, None], istack,
                 )
+                isp2 = jnp.where(push, jnp.minimum(isp2 + 1, STACK_DEPTH), isp2)
 
         push = packet_hit & ~is_leaf
 
@@ -652,11 +695,20 @@ def _packet_anyhit_instanced(g, ro_p, rd_p, tmin_p, tmax_p, occluded, inv_d):
         stack, sp3 = push_child(stack, sp2, 1, push[:, 1] & active)
         all_done = jnp.all(occluded | ~relevant, axis=1)
         sp3 = jnp.where(all_done, 0, sp3)
-        return stack, sp3, occluded
+        isp2 = jnp.where(all_done, 0, isp2)
+        return stack, sp3, istack, isp2, occluded
+
+    def cond(state):
+        _, sp, _, isp, _ = state
+        return jnp.any((sp > 0) | (isp > 0))
 
     stack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
     sp0 = jnp.ones((P,), jnp.int32)
-    _, _, occluded = jax.lax.while_loop(cond, body, (stack0, sp0, occluded))
+    istack0 = jnp.zeros((P, STACK_DEPTH), jnp.int32)
+    isp0 = jnp.zeros((P,), jnp.int32)
+    _, _, _, _, occluded = jax.lax.while_loop(
+        cond, body, (stack0, sp0, istack0, isp0, occluded)
+    )
     return occluded
 
 
@@ -771,7 +823,20 @@ def packet_intersect(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
                 best_e = jnp.where(changed, g["base"] + e_loc, best_e)
                 best_t = t_new
             if inst:
-                # instanced groups run the two-level XLA packet walk
+                from pine_tpu.accel import instanced_pallas as IP
+
+                fast = [g for g in inst if IP.supports(g)]
+                slow = [g for g in inst if not IP.supports(g)]
+                tmin_f = jnp.broadcast_to(
+                    jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, ro.shape[:1]
+                ).astype(jnp.float32)
+                for g in fast:
+                    best_t, best_e = IP.instanced_pallas_intersect(
+                        g, ro, rd, tmin_f, best_t, best_e
+                    )
+                inst = slow
+            if inst:
+                # oversized instanced groups run the two-level XLA packet walk
                 ro2, rd2, tmin2, bt2, n0 = _pad_rays(ro, rd, tmin, best_t, K)
                 be2 = jnp.concatenate(
                     [best_e, jnp.full((ro2.shape[0] - n0,), -1, jnp.int32)]
@@ -913,6 +978,20 @@ def packet_any_hit(accel, ro, rd, tmin, tmax, K=DEFAULT_K):
                 _, occ = PT.pallas_group_query(
                     g, ro, rd, tmin, tmax_f, tmax_f, occ, any_hit=True
                 )
+            if inst:
+                from pine_tpu.accel import instanced_pallas as IP
+
+                fast = [g for g in inst if IP.supports(g)]
+                slow = [g for g in inst if not IP.supports(g)]
+                tmin_f = jnp.broadcast_to(
+                    jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, ro.shape[:1]
+                ).astype(jnp.float32)
+                tmax_b = jnp.broadcast_to(tmax_f, ro.shape[:1]).astype(jnp.float32)
+                for g in fast:
+                    occ = IP.instanced_pallas_any_hit(
+                        g, ro, rd, tmin_f, tmax_b, occ
+                    )
+                inst = slow
             occ = occ != 0
             if inst:
                 ro2, rd2, tmin2, tmax2, n0 = _pad_rays(ro, rd, tmin, tmax_f, K)

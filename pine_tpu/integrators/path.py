@@ -191,6 +191,11 @@ def render_wavefront(
             # delta/ratio-tracking programs carry much larger live state per
             # lane; 64k-lane chunks fault the TPU worker on grid-media scenes
             chunk = min(n, DEFAULT_CHUNK // 2)
+        if getattr(cscene, "unified", None) and cscene.unified.get("inst_groups"):
+            # the two-level instanced walk runs long per lane; keep each
+            # compiled program small (see spp_inner below) so no single
+            # dispatch trips the TPU worker's execution watchdog
+            chunk = min(chunk, DEFAULT_CHUNK // 4)
     cam_params = cam.params()
     # cache key from HOST-side camera fields: np.asarray on the device params
     # would be a d2h readback, which permanently poisons TPU dispatch
@@ -200,9 +205,27 @@ def render_wavefront(
         float(cam.len_radius), float(cam.focus_distance),
         tuple(np.asarray(cam.fov2d, np.float32).ravel().tolist()),
     )
+    # Instanced scenes that must take the slow XLA two-level walk (too many
+    # instances for the dense-enumeration Pallas path, accel/instanced_pallas)
+    # run ONE sample per compiled program, looped host-side: a multi-spp
+    # chunk program there exceeds the TPU worker's per-program execution
+    # watchdog (~30 s) and the worker is killed mid-render (measured at
+    # 512^2 x 4spp x 1024 instances).  Fast-path instanced scenes keep the
+    # fused spp loop.
+    spp_inner = spp
+    inst_groups = (
+        cscene.unified.get("inst_groups")
+        if getattr(cscene, "unified", None) else None
+    )
+    if inst_groups:
+        from pine_tpu.accel.instanced_pallas import supports as _ip_supports
+        from pine_tpu.accel.packet import _use_pallas
+
+        if _use_pallas() and any(not _ip_supports(g) for g in inst_groups):
+            spp_inner = 1
     key = (
         _scene_token(cscene), _sampler_key(sampler), cam_key,
-        W, H, spp, max_depth, seed, nee, chunk,
+        W, H, spp_inner, max_depth, seed, nee, chunk,
     )
     if key not in _RENDER_CACHE:
         if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
@@ -235,10 +258,10 @@ def render_wavefront(
                     return acc + L, nrays + r
 
                 total, nrays = jax.lax.fori_loop(
-                    0, spp, body,
+                    0, spp_inner, body,
                     (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
                 )
-                return total / spp, nrays
+                return total / spp_inner, nrays
 
         _RENDER_CACHE[key] = (jax.jit(fn), arrays, setters)
     fn, bound_arrays, _ = _RENDER_CACHE[key]
@@ -256,13 +279,25 @@ def render_wavefront(
     chunks = []
     ray_counts = []
     n_chunks = n_pad // chunk
+    n_batches = (spp + spp_inner - 1) // spp_inner
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
         n_valid = min(chunk, n - c * chunk)
+        xs_c = jnp.asarray(xs_all[sl], jnp.int32)
+        ys_c = jnp.asarray(ys_all[sl], jnp.int32)
         L, nrays = fn(
-            jnp.asarray(xs_all[sl], jnp.int32), jnp.asarray(ys_all[sl], jnp.int32),
-            jnp.int32(n_valid), bound_arrays, jnp.int32(sample_offset),
+            xs_c, ys_c, jnp.int32(n_valid), bound_arrays,
+            jnp.int32(sample_offset),
         )
+        for b in range(1, n_batches):
+            Lb, rb = fn(
+                xs_c, ys_c, jnp.int32(n_valid), bound_arrays,
+                jnp.int32(sample_offset + b * spp_inner),
+            )
+            L = L + Lb
+            nrays = nrays + rb
+        if n_batches > 1:
+            L = L / n_batches
         chunks.append(L)
         ray_counts.append(nrays)
         frac = (c + 1) / n_chunks

@@ -172,3 +172,27 @@ def test_instanced_render_smoke():
         scene_mod.FLATTEN_LIMIT = old
     assert np.isfinite(img).all()
     assert img.max() > 0.05
+
+
+def test_instanced_fast_path_interpret_parity(monkeypatch):
+    """The TPU dense-enumeration + Pallas-sweep path (accel/instanced_pallas)
+    must agree with the XLA packet walk — exercised via Pallas interpret mode
+    on a small scene (the big-scene parity ran manually; this pins it)."""
+    import jax.numpy as jnp
+
+    cs = _build(lazy=True, nx=2, nz=2)
+    ro, rd = _camera_rays(64)
+    tmin = jnp.zeros((64,))
+    tmax = jnp.full((64,), 1e30)
+    t_ref, g_ref, hit_ref, _ = cs.intersect(ro, rd, tmin, tmax)
+    occ_ref = cs.any_hit(ro, rd, tmin, jnp.full((64,), 8.0))
+    monkeypatch.setenv("PINE_TPU_PALLAS", "1")
+    t_f, g_f, hit_f, _ = cs.intersect(ro, rd, tmin, tmax)
+    occ_f = cs.any_hit(ro, rd, tmin, jnp.full((64,), 8.0))
+    assert np.array_equal(np.asarray(hit_ref), np.asarray(hit_f))
+    m = np.asarray(hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[m], np.asarray(t_f)[m], rtol=2e-4, atol=2e-4
+    )
+    assert np.array_equal(np.asarray(g_ref), np.asarray(g_f))
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ_f))
