@@ -90,12 +90,12 @@ def main():
         VDBMedium(path, m, CloudPhaseFunction(0.6), [6.0, 6.0, 6.0], [4.0, 4.0, 4.0],
                   3.0, 0.9)
     )
-    W = H = 320
+    W = H = 400
     sc.set(ThinLenCamera(Film([W, H], "uncharted2"), [0, 1.6, -4.6], [0, 1.1, 0], 0.3))
 
     import jax
 
-    img = render_wavefront(sc.compile(), sc.camera, W, H, BlueSampler(128), 128, 5, chunk=16384)
+    img = render_wavefront(sc.compile(), sc.camera, W, H, BlueSampler(256), 256, 5, chunk=16384)
     jax.block_until_ready(img)
     save_image("images/explosion.png", np.asarray(color.uncharted2_filmic(img)), invert_y=True)
     print("saved images/explosion.png")
