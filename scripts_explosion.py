@@ -95,7 +95,18 @@ def main():
 
     import jax
 
-    img = render_wavefront(sc.compile(), sc.camera, W, H, BlueSampler(256), 256, 5, chunk=16384)
+    # spp batched host-side: one fused 256-spp grid-media chunk program
+    # runs past the TPU worker's ~30 s execution watchdog
+    cs = sc.compile()
+    acc = None
+    SPP, BATCH = 256, 32
+    for off in range(0, SPP, BATCH):
+        img = render_wavefront(
+            cs, sc.camera, W, H, BlueSampler(SPP), BATCH, 5,
+            chunk=16384, sample_offset=off,
+        )
+        acc = img if acc is None else acc + img
+    img = acc / (SPP // BATCH)
     jax.block_until_ready(img)
     save_image("images/explosion.png", np.asarray(color.uncharted2_filmic(img)), invert_y=True)
     print("saved images/explosion.png")
