@@ -727,8 +727,7 @@ def make_registry(interp):
 
     @register("film")
     def _film_of(cam=None):
-        """Film of a camera (film.cpp:97-120 registers it on the camera —
-        script idiom: ``scene.camera.film()``)."""
+        """Film of a camera; script idiom: ``scene.camera.film()`` (film.cpp:97-120)."""
         if cam is None:
             raise TypeError(
                 "film() takes the camera — write `scene.camera.film()`"
