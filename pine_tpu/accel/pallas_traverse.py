@@ -748,7 +748,7 @@ def _compiled_sctree_call(tid, width, n_prims, any_hit, n_rows):
     ray_spec = pl.BlockSpec(
         (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
-    table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    table_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = _make_sctree_kernel(tid, width, n_prims, any_hit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -887,7 +887,7 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
         (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
     if hbm:
-        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        table_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         table_spec = pl.BlockSpec(
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM

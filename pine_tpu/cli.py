@@ -10,13 +10,38 @@ import sys
 import time
 
 
-USAGE = """usage: pine <file.pine> [--progressive N] [--progressive-dir DIR]
+USAGE = """usage: pine <file.pine> [--platform P] [--progressive N] [--progressive-dir DIR]
+            [--interactive]
 
+--platform P         force the JAX backend: cpu or tpu.  The container may
+                     pin JAX_PLATFORMS in the environment (sitecustomize runs
+                     before any env-var override can take effect), so this
+                     flag goes through jax.config.update, which wins.
 --progressive N      snapshot the film every N samples per pixel (the
                      TPU-native analog of the reference's interactive
                      accumulation viewer, path_opengl.cpp:11-127); CPU
                      backends write snapshots live, TPU flushes at exit
---progressive-dir D  snapshot directory (default: progressive/)"""
+--progressive-dir D  snapshot directory (default: progressive/)
+--interactive        after the script's first render, open a terminal
+                     fly-camera loop (WASD/QE move, IJKL look, [ ] spp,
+                     p screenshot, q quit) re-dispatching the compiled
+                     render at each new camera (path_opengl.cpp:104-117)"""
+
+
+def _select_platform(name: str) -> None:
+    """Force the backend via jax.config (env vars are too late: the
+    container's sitecustomize pins JAX_PLATFORMS before user code runs)."""
+    import os
+
+    import jax
+
+    if name == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif name == "tpu":
+        pinned = os.environ.get("JAX_PLATFORMS", "")
+        jax.config.update("jax_platforms", pinned or "tpu")
+    else:
+        raise SystemExit(f"error: --platform must be cpu or tpu, got {name!r}")
 
 
 def main(argv=None):
@@ -27,7 +52,16 @@ def main(argv=None):
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == "--progressive":
+        if a == "--platform":
+            if i + 1 >= len(argv):
+                print("error: --platform requires cpu or tpu")
+                return 1
+            _select_platform(argv[i + 1])
+            i += 2
+        elif a == "--interactive":
+            options.interactive = True
+            i += 1
+        elif a == "--progressive":
             if i + 1 >= len(argv) or not argv[i + 1].isdigit() or int(argv[i + 1]) < 1:
                 print("error: --progressive requires a positive integer")
                 return 1
@@ -77,6 +111,14 @@ def main(argv=None):
         print(f"[Error] {e}")
         return 1
     Profiler.finalize()
+    expect = os.environ.get("PINE_ASSERT_BACKEND")
+    if expect:  # test hook: prove which backend actually ran
+        import jax
+
+        got = jax.default_backend()
+        if got != expect:
+            print(f"[Error] backend assertion: expected {expect}, got {got}")
+            return 1
     print(f"Finished in {time.time() - t0:.2f}s")
     return 0
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 progressive_every = None  # int spp per snapshot, or None (off)
 progressive_dir = "progressive"
+interactive = False  # --interactive: terminal fly-camera loop after render
 
 
 def progressive_flush_live():

@@ -47,18 +47,33 @@ class ProgressReporter:
         return self
 
     def _run(self):
+        import time
+
         last = -1.0
+        changed_at = time.time()
+        beat = 0.0
         while not self._stop.wait(self.interval):
             p = get_progress()
             if p != last:
-                self.stream.write(f"\r{100.0 * p:6.1f}%")
+                self.stream.write(f"\r{100.0 * p:6.1f}%" + " " * 40 + "\b" * 40)
                 self.stream.flush()
                 last = p
+                changed_at = time.time()
+            else:
+                # heartbeat: a first jit dispatch (remote TPU compile) can be
+                # minutes of silence — show that we are alive, not hung
+                stall = time.time() - changed_at
+                if stall > 3.0 and time.time() - beat > 1.0:
+                    self.stream.write(
+                        f"\r{100.0 * p:6.1f}%  (compiling/working {stall:.0f}s)"
+                    )
+                    self.stream.flush()
+                    beat = time.time()
 
     def __exit__(self, *exc):
         self._stop.set()
         if self._thread is not None:
             self._thread.join()
-        self.stream.write("\r" + " " * 10 + "\r")
+        self.stream.write("\r" + " " * 48 + "\r")
         self.stream.flush()
         return False

@@ -114,11 +114,11 @@ def _pick_light(cscene):
     raise RuntimeError("MicroRenderGI needs at least one light")
 
 
-HB = 16  # hemisphere microbuffer edge (reference debug buffers are 32x32)
+HB = 32  # hemisphere microbuffer edge (reference buffers are 32x32, micro_render.cpp:108-110)
 BIGF = 1e30
 
 
-def _push_pull(color, occupied):
+def _push_pull(color, occupied, HB=HB):
     """Fill microbuffer holes from coarser mips (push_pop,
     micro_render.cpp:12-42): push = max-of-4-children with /2 falloff per
     level down to HB/4, pull = black texels take the coarser value.
@@ -151,7 +151,7 @@ def _push_pull(color, occupied):
     return filled
 
 
-def _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius):
+def _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius, HB=HB):
     """Point-based GI with visibility: z-buffer every surfel into a per-pixel
     hemispherical microbuffer (the reference's project() parameterization,
     micro_render.cpp:80-88: u = phi/2pi, v = 1 - sin(theta)), push-pull the
@@ -192,7 +192,7 @@ def _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius):
     cnt = jnp.zeros((m * HB * HB,), jnp.float32).at[flat].add(win.astype(jnp.float32))
     cell_color = (csum / jnp.maximum(cnt[:, None], 1.0)).reshape(m, HB, HB, 3)
     occupied = (cnt > 0).reshape(m, HB, HB)
-    filled = _push_pull(cell_color, occupied)
+    filled = _push_pull(cell_color, occupied, HB)
     # integrate: rho at cell center row cy: rho = 1 - (cy+0.5)/HB
     rho_c = 1.0 - (jnp.arange(HB, dtype=jnp.float32) + 0.5) / HB  # (HB,) rows
     w_row = 2.0 * rho_c / (HB * HB)
@@ -202,20 +202,21 @@ def _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius):
 class MicroRenderIntegrator:
     """PRL: MicroRenderGI(point_count) (program_context.cpp:54-56)."""
 
-    def __init__(self, point_count=2048):
+    def __init__(self, point_count=2048, microbuffer=HB):
         self.point_count = int(point_count)
+        self.microbuffer = int(microbuffer)
 
     def render(self, scene):
         cscene = scene.compile()
         cam = scene.camera
         film = cam.film
         W, H = film.width, film.height
-        img = render_micro(cscene, cam, W, H, self.point_count)
+        img = render_micro(cscene, cam, W, H, self.point_count, hb=self.microbuffer)
         film.set_rgb(img)  # device array: readback deferred to save-flush
         return film
 
 
-def render_micro(cscene, cam, W, H, point_count=2048, chunk=16384):
+def render_micro(cscene, cam, W, H, point_count=2048, chunk=16384, hb=HB):
     from pine_tpu.core.capture import bind, collect_device_arrays
 
     scene = cscene.scene
@@ -298,7 +299,7 @@ def render_micro(cscene, cam, W, H, point_count=2048, chunk=16384):
                 albedo,
             )
             direct = direct_at(p_s, ns, apparent)
-            gi = apparent * _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius)
+            gi = apparent * _microbuffer_gather(p_s, ns, Pd, Nd, cd, radius, hb)
             L = direct + gi
             emis = cscene.is_emissive_lane(gidx) & hit
             if cscene.emissive_globals:

@@ -287,3 +287,21 @@ def test_micro_render_structural_quality():
     contact = img[8:12, 28:36].mean()
     assert contact < 0.5 * open_floor
     assert contact > 0.0
+
+
+def test_micro_render_microbuffer_resolution(tame):
+    """Reference parity: 32x32 microbuffers (micro_render.cpp:108-110) are the
+    default; the legacy 16x16 buffer remains reachable and measurably coarser
+    (different gather: quality is quadratic in the buffer edge)."""
+    from pine_tpu.integrators.micro_render import HB, render_micro
+
+    assert HB == 32
+    scene, cscene, ref = tame
+    hi = np.asarray(render_micro(cscene, scene.camera, 32, 32, 512, chunk=1024, hb=32))
+    lo = np.asarray(render_micro(cscene, scene.camera, 32, 32, 512, chunk=1024, hb=16))
+    assert np.isfinite(hi).all() and np.isfinite(lo).all()
+    rmse = float(np.sqrt(np.mean((hi - lo) ** 2)))
+    # same scene, same surfels: images agree in the large but the coarser
+    # buffer quantizes visibility differently -> a real, nonzero delta
+    assert 0.0 < rmse < 0.25, rmse
+    assert abs(hi.mean() - lo.mean()) / max(hi.mean(), 1e-6) < 0.25
