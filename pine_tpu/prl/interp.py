@@ -28,6 +28,10 @@ class PRLRuntimeError(Exception):
     pass
 
 
+# eager while-loop iterations before loop_jit tries to compile the rest
+_LOOP_HOT_ITERS = 20000
+
+
 class BreakEx(Exception):
     pass
 
@@ -335,6 +339,7 @@ class Interpreter:
         elif k is A.While:
             # a loop may START concrete and become traced mid-flight (e.g.
             # `t := 0.0; while t < 9 { t += sdf(...) }`): check per iteration
+            n_iter = 0
             while True:
                 c = self.eval(node.cond, env)
                 if _is_traced_val(c):
@@ -344,6 +349,13 @@ class Interpreter:
                     break
                 if not _cond(c):
                     break
+                n_iter += 1
+                if n_iter == _LOOP_HOT_ITERS:
+                    # hot host loop: hand the continuation to XLA (loop_jit)
+                    from pine_tpu.prl.loop_jit import maybe_run_compiled_while
+
+                    if maybe_run_compiled_while(self, node, env):
+                        break
                 try:
                     self.exec_block(node.body, env)
                 except BreakEx:
@@ -351,6 +363,10 @@ class Interpreter:
                 except ContinueEx:
                     continue
         elif k is A.For:
+            from pine_tpu.prl.loop_jit import maybe_run_compiled_for
+
+            if maybe_run_compiled_for(self, node, env):
+                return
             scope = Env(env)
             self.exec_elem(node.init, scope)
             while True:

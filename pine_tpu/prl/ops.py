@@ -15,6 +15,10 @@ from pine_tpu.prl.values import PrlMat, PrlVec, is_int_value, prl_to_string, xp
 
 def _c_div(a, b):
     if is_int_value(a) and is_int_value(b):
+        if _any_traced(a, b):  # traced i32: same C truncation, lane-wise
+            m = xp(a, b)
+            q = abs(a) // m.maximum(abs(b), 1)
+            return m.where((a >= 0) == (b >= 0), q, -q)
         q = abs(a) // abs(b)
         return int(q if (a >= 0) == (b >= 0) else -q)
     return a / b
@@ -22,6 +26,8 @@ def _c_div(a, b):
 
 def _c_mod(a, b):
     if is_int_value(a) and is_int_value(b):
+        if _any_traced(a, b):
+            return a - _c_div(a, b) * b
         return int(a - _c_div(a, b) * b)
     return np.fmod(a, b) if not hasattr(a, "aval") else a % b
 
