@@ -65,11 +65,25 @@ def _local_rays(g, inst, ro, rd, jnp):
     return ol, dl
 
 
+def _use_kernel(g):
+    import os
+
+    from pine_tpu.accel import instanced_kernel as IK
+
+    return IK.kernel_supports(g) and not os.environ.get("PINE_INST_DENSE")
+
+
 def instanced_pallas_intersect(g, ro, rd, tmin, best_t, best_e):
-    """Closest hit through the dense-enumeration + Pallas-sweep rounds.
-    best_t/best_e update in place semantics; best_e gets virtual ids."""
+    """Closest hit.  Default: the two-level single-kernel walk
+    (accel/instanced_kernel.py).  PINE_INST_DENSE=1 falls back to the
+    dense-enumeration + Pallas-sweep rounds below (round-3 path)."""
     import jax
     import jax.numpy as jnp
+
+    if _use_kernel(g):
+        from pine_tpu.accel.instanced_kernel import inst_kernel_intersect
+
+        return inst_kernel_intersect(g, ro, rd, tmin, best_t, best_e)
 
     from pine_tpu.accel.pallas_traverse import pallas_group_query
 
@@ -115,6 +129,11 @@ def instanced_pallas_any_hit(g, ro, rd, tmin, tmax, occ):
     import jax
     import jax.numpy as jnp
 
+    if _use_kernel(g):
+        from pine_tpu.accel.instanced_kernel import inst_kernel_any_hit
+
+        return inst_kernel_any_hit(g, ro, rd, tmin, tmax, occ)
+
     from pine_tpu.accel.pallas_traverse import pallas_group_query
 
     sub = g["mesh"]
@@ -148,4 +167,6 @@ def instanced_pallas_any_hit(g, ro, rd, tmin, tmax, occ):
 
 
 def supports(g):
+    if _use_kernel(g):
+        return True  # two-level kernel: SMEM-bounded at INST_KERNEL_MAX
     return g["n_inst"] <= DENSE_INSTANCES_MAX

@@ -287,6 +287,15 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                 _inst_aabbs=jnp.asarray(
                     np.concatenate([ilo, ihi], axis=1)[iorder].astype(np.float32)
                 ),
+                # host copies for the two-level Pallas kernel's SMEM layout
+                # (accel/instanced_kernel.py; no device readback allowed there)
+                inst_np=dict(
+                    ic_lower=np.asarray(ic_lower), ic_upper=np.asarray(ic_upper),
+                    ic_node=np.asarray(ic_node), ic_start=np.asarray(ic_start),
+                    ic_count=np.asarray(ic_count),
+                    iboxes=np.concatenate([ilo, ihi], axis=1)[iorder].astype(np.float32),
+                    minv=minv.copy(),
+                ),
                 tri_n=jnp.asarray(
                     np.concatenate([n_attr[order], np.zeros((LEAF_MAX, 9), np.float32)])
                 ),
@@ -324,6 +333,10 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                     PT._sc_tree_layout(sub)
             else:
                 PT._group_smem_arrays(sub)
+            from pine_tpu.accel import instanced_kernel as IK
+
+            if IK.kernel_supports(g):
+                IK.inst_layout(g)  # builds the mesh sctree layout too
             continue
         if g["tid"] in PT.PRIM_TESTS:
             if PT._grid_eligible(g):
