@@ -23,9 +23,11 @@ USAGE = """usage: pine <file.pine> [--platform P] [--progressive N] [--progressi
                      backends write snapshots live, TPU flushes at exit
 --progressive-dir D  snapshot directory (default: progressive/)
 --interactive        after the script's first render, open a terminal
-                     fly-camera loop (WASD/QE move, IJKL look, [ ] spp,
-                     p screenshot, q quit) re-dispatching the compiled
-                     render at each new camera (path_opengl.cpp:104-117)"""
+                     fly-camera loop (WASD move, E/C up/down, IJKL look,
+                     [ ] spp, p screenshot, q quit) re-dispatching the
+                     compiled render at each new camera; frames go to
+                     interactive/latest.png + a self-refreshing index.html
+                     on CPU backends (path_opengl.cpp:104-117)"""
 
 
 def _select_platform(name: str) -> None:

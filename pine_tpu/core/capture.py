@@ -99,7 +99,10 @@ def collect_device_arrays(roots, max_depth=12):
             visit(obj.__self__, depth + 1)
         elif hasattr(obj, "__dict__"):
             d = vars(obj)
+            skip = getattr(type(obj), "_capture_skip", ())
             for k in list(d.keys()):
+                if k in skip:
+                    continue  # render OUTPUTS (e.g. Film's accumulated frame)
                 v = d[k]
                 if _is_device_array(v):
                     arrays.append(v)

@@ -28,6 +28,11 @@ def flush_deferred_saves():
 
 
 class Film:
+    # the accumulated frame is a render OUTPUT: the capture walker must not
+    # bind it as a program input (its appearance after the first render would
+    # shift the jit-argument slots — core/capture.py)
+    _capture_skip = ("_device_rgb",)
+
     def __init__(self, size, tone_mapper: str = "uncharted2"):
         # size is (width, height) as in PRL `Film([w, h])`.
         self.width = int(size[0])

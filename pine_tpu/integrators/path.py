@@ -68,6 +68,10 @@ class PathIntegrator:
                 cscene, cam, W, H, self.sampler, spp, self.max_path_length,
             )
             film.set_rgb(img)  # device array: readback deferred to save-flush
+            if options.interactive:
+                from pine_tpu.interactive import run_loop
+
+                run_loop(self, scene, cscene)
             return film
 
         # progressive accumulation (the TPU analog of the reference's
@@ -197,14 +201,12 @@ def render_wavefront(
             # dispatch trips the TPU worker's execution watchdog
             chunk = min(chunk, DEFAULT_CHUNK // 4)
     cam_params = cam.params()
-    # cache key from HOST-side camera fields: np.asarray on the device params
-    # would be a d2h readback, which permanently poisons TPU dispatch
-    cam_key = (
-        tuple(np.asarray(cam.position, np.float32).ravel().tolist()),
-        tuple(np.asarray(cam.c2w, np.float32).ravel().tolist()),
-        float(cam.len_radius), float(cam.focus_distance),
-        tuple(np.asarray(cam.fov2d, np.float32).ravel().tolist()),
-    )
+    # camera position/rotation/fov are DEVICE params that reach the program
+    # as jit arguments (rebound per call below), so the compiled program is
+    # shared across camera moves — the contract the interactive fly-cam
+    # (pine_tpu/interactive.py) relies on.  Only the two PYTHON-branching
+    # fields (gen_rays specializes on len_radius == 0) key the cache.
+    cam_key = (float(cam.len_radius), float(cam.focus_distance))
     # Instanced scenes that must take the slow XLA two-level walk (too many
     # instances for the dense-enumeration Pallas path, accel/instanced_pallas)
     # run ONE sample per compiled program, looped host-side: a multi-spp
@@ -227,11 +229,11 @@ def render_wavefront(
         _scene_token(cscene), _sampler_key(sampler), cam_key,
         W, H, spp_inner, max_depth, seed, nee, chunk,
     )
+    from pine_tpu.core.capture import bind, collect_device_arrays
+
     if key not in _RENDER_CACHE:
         if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
             _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
-
-        from pine_tpu.core.capture import bind, collect_device_arrays
 
         # every device array the render body reads must arrive as a jit
         # ARGUMENT: a captured device constant permanently poisons the TPU
@@ -264,7 +266,17 @@ def render_wavefront(
                 return total / spp_inner, nrays
 
         _RENDER_CACHE[key] = (jax.jit(fn), arrays, setters)
-    fn, bound_arrays, _ = _RENDER_CACHE[key]
+    fn, arrays0, _ = _RENDER_CACHE[key]
+    # re-collect per call: same structural walk as at trace time, so the
+    # values bind to the cached setters — a moved camera (or a content-equal
+    # fresh scene) re-dispatches the SAME compiled program with new arguments
+    bound_arrays, _ = collect_device_arrays((cscene, sampler, cam_params))
+    if len(bound_arrays) != len(arrays0):
+        raise RuntimeError(
+            f"render cache structure drift: {len(arrays0)} captured arrays at "
+            f"compile time vs {len(bound_arrays)} now (scene/sampler mutated "
+            "after first render?)"
+        )
 
     # The whole render stays ON DEVICE: reading any value back to host (even
     # one float) permanently poisons this TPU's dispatch path (~1000x slower
