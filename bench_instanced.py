@@ -1,9 +1,13 @@
-"""Instancing benchmark: 1024 instances of a 4802-triangle rock mesh
-(~4.9M effective triangles) rendered through the lazy two-level accel in
-O(mesh) memory.  Prints ONE JSON line like bench.py.
+"""Instancing benchmark: instances of a 4802-triangle rock mesh rendered
+through the lazy two-level accel in O(mesh) memory.  Prints ONE JSON line
+like bench.py for the primary config (32x32 = 1024 instances, ~4.9M
+effective tris); pass --big for the 101x101 = 10201-instance config (~49M
+effective tris) that exceeds the old dense path's 4096-instance cap.
 
 Same measurement discipline: zero device->host readbacks until timing is
-done (a readback permanently poisons this TPU's dispatch path).
+done (a readback permanently poisons this TPU's dispatch path).  compile_s
+records the first render (compile included) separately from the steady
+wall clock.
 """
 from __future__ import annotations
 
@@ -46,7 +50,7 @@ def make_rock(grid=GRID, seed=5):
     return V, F
 
 
-def build_scene():
+def build_scene(n_side=N_SIDE):
     import numpy as np
 
     import pine_tpu.scene.scene as scene_mod
@@ -61,12 +65,12 @@ def build_scene():
     inst = S.InstancedShape(S.Mesh(V, F))
     mat = M.Diffuse([0.6, 0.55, 0.5])
     rng = np.random.default_rng(11)
-    for i in range(N_SIDE):
-        for j in range(N_SIDE):
+    for i in range(n_side):
+        for j in range(n_side):
             m = np.eye(4, dtype=np.float32)
             s = 0.35 + 0.25 * rng.random()
             m[:3, :3] *= s
-            m[0, 3] = (i - N_SIDE / 2) * 1.6 + rng.uniform(-0.3, 0.3)
+            m[0, 3] = (i - n_side / 2) * 1.6 + rng.uniform(-0.3, 0.3)
             m[1, 3] = 0.8 * s
             m[2, 3] = j * 1.6 + 2.0 + rng.uniform(-0.3, 0.3)
             inst.add(m, mat)
@@ -92,15 +96,18 @@ def main():
     from pine_tpu.core.samplers import BlueSampler
     from pine_tpu.integrators.path import render_wavefront
 
-    scene, n_tris, n_inst = build_scene()
+    n_side = 101 if "--big" in sys.argv else N_SIDE
+    scene, n_tris, n_inst = build_scene(n_side)
     cscene = scene.compile()
     assert cscene.unified.get("inst_groups"), "lazy instancing not active"
     sampler = BlueSampler(SPP)
 
+    t0 = time.perf_counter()
     img, stats = render_wavefront(
         cscene, scene.camera, W, H, sampler, SPP, DEPTH, return_stats=True
     )
     jax.block_until_ready(img)
+    compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(3):
@@ -120,7 +127,8 @@ def main():
         from pine_tpu.io.image_io import save_image
 
         save_image(
-            "bench_instanced.png", np.asarray(color.uncharted2_filmic(img)),
+            "bench_instanced_big.png" if n_side != N_SIDE else "bench_instanced.png",
+            np.asarray(color.uncharted2_filmic(img)),
             invert_y=True,
         )
     except Exception:
@@ -130,13 +138,15 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"instanced {n_inst}x{n_tris}tri (4.9M effective) "
+                    f"instanced {n_inst}x{n_tris}tri "
+                    f"({n_inst * n_tris / 1e6:.1f}M effective) "
                     f"{W}x{H}x{SPP}spp depth{DEPTH} throughput"
                 ),
                 "value": round(mrays, 2),
                 "unit": "Mray/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
                 "wall_s": round(wall, 4),
+                "compile_s": round(compile_s, 1),
                 "traced_rays": int(traced_rays),
                 "finite": bool(np.isfinite(img_np).all()),
             }
