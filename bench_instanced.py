@@ -4,10 +4,11 @@ like bench.py for the primary config (32x32 = 1024 instances, ~4.9M
 effective tris); pass --big for the 101x101 = 10201-instance config (~49M
 effective tris) that exceeds the old dense path's 4096-instance cap.
 
-Same measurement discipline: zero device->host readbacks until timing is
-done (a readback permanently poisons this TPU's dispatch path).  compile_s
-records the first render (compile included) separately from the steady
-wall clock.
+Same measurement discipline as bench.py (revised round 4): synchronous
+dispatch mode is engaged up front (core/device.engage_sync_dispatch) so
+block_until_ready truly fences and walls are real — earlier rounds'
+async-mode walls were dispatch-only.  compile_s records the first render
+(compile included) separately from the steady wall clock.
 """
 from __future__ import annotations
 
@@ -102,12 +103,16 @@ def main():
     assert cscene.unified.get("inst_groups"), "lazy instancing not active"
     sampler = BlueSampler(SPP)
 
+    from pine_tpu.core.device import dispatch_overhead_ms, engage_sync_dispatch
+
+    engage_sync_dispatch()  # real fences from here on (scripts_backend_probe.py)
     t0 = time.perf_counter()
     img, stats = render_wavefront(
         cscene, scene.camera, W, H, sampler, SPP, DEPTH, return_stats=True
     )
     jax.block_until_ready(img)
     compile_s = time.perf_counter() - t0
+    overhead_ms = dispatch_overhead_ms()
 
     times = []
     for _ in range(3):
@@ -147,6 +152,8 @@ def main():
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
                 "wall_s": round(wall, 4),
                 "compile_s": round(compile_s, 1),
+                "dispatch_mode": "sync",
+                "dispatch_overhead_ms": round(overhead_ms, 1),
                 "traced_rays": int(traced_rays),
                 "finite": bool(np.isfinite(img_np).all()),
             }

@@ -3,9 +3,10 @@ PathIntegrator depth 4 (BASELINE.json "room.glb/house.pine mesh+BVH" config —
 the reference ships no house.glb, so the mesh is a deterministic synthetic
 terrain at the same triangle count).
 
-Prints ONE JSON line like bench.py.  Same measurement discipline: zero
-device->host readbacks until all timing is done (this TPU permanently slows
-~1000x after any readback).
+Prints ONE JSON line like bench.py.  Same measurement discipline as
+bench.py (revised round 4): synchronous dispatch mode is engaged up front
+(core/device.engage_sync_dispatch) so block_until_ready truly fences and
+walls are real — earlier rounds' async-mode walls were dispatch-only.
 """
 from __future__ import annotations
 
@@ -87,12 +88,16 @@ def main():
     sampler = BlueSampler(SPP)
     n_tris = 2 * (GRID - 1) * (GRID - 1)
 
+    from pine_tpu.core.device import dispatch_overhead_ms, engage_sync_dispatch
+
+    engage_sync_dispatch()  # real fences from here on (scripts_backend_probe.py)
     t0 = time.perf_counter()
     img, stats = render_wavefront(
         cscene, scene.camera, W, H, sampler, SPP, DEPTH, return_stats=True
     )
     jax.block_until_ready(img)
     compile_s = time.perf_counter() - t0  # VERDICT r3 weak #5: track it
+    overhead_ms = dispatch_overhead_ms()
 
     times = []
     for _ in range(5):
@@ -104,7 +109,7 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = min(times)
 
-    # ---- timing done; readbacks are safe now ----
+    # ---- timing done ----
     traced_rays = float(np.asarray(stats["traced_rays"]))
     mrays = traced_rays / wall / 1e6
     img_np = np.asarray(img)
@@ -128,6 +133,8 @@ def main():
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
                 "wall_s": round(wall, 4),
                 "compile_s": round(compile_s, 1),
+                "dispatch_mode": "sync",
+                "dispatch_overhead_ms": round(overhead_ms, 1),
                 "traced_rays": int(traced_rays),
                 "n_triangles": n_tris,
                 "finite": bool(np.isfinite(img_np).all()),

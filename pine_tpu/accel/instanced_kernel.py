@@ -234,6 +234,43 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
             def _():
                 # instance entry: write local-frame rays, push mesh root
                 j = eid
+                if probe in ("fakehit", "xform"):
+                    # cost-decomposition probes: pretend every lane that cuts
+                    # the instance AABB hits at the box entry (an upper bound
+                    # on real pruning), skip the mesh subtree entirely.
+                    # fakehit = top walk + leaf culls; xform adds the 9
+                    # local-frame transform writes.
+                    o3, iv3 = world_rays()
+                    base = j * 6
+                    lx, ly, lz = iboxes[base], iboxes[base + 1], iboxes[base + 2]
+                    ux, uy, uz = iboxes[base + 3], iboxes[base + 4], iboxes[base + 5]
+                    t0x, t1x = (lx - o3[0]) * iv3[0], (ux - o3[0]) * iv3[0]
+                    t0y, t1y = (ly - o3[1]) * iv3[1], (uy - o3[1]) * iv3[1]
+                    t0z, t1z = (lz - o3[2]) * iv3[2], (uz - o3[2]) * iv3[2]
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tmn[:]),
+                    )
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
+                    )
+                    better = (near <= far) & (near < bt_s[:])
+                    bt_s[:] = jnp.where(better, near, bt_s[:])
+                    if probe == "xform":
+                        def mv(c):
+                            return minv[j * 12 + c]
+
+                        lox[:] = mv(0) * ox[:] + mv(1) * oy[:] + mv(2) * oz[:] + mv(3)
+                        loy[:] = mv(4) * ox[:] + mv(5) * oy[:] + mv(6) * oz[:] + mv(7)
+                        loz[:] = mv(8) * ox[:] + mv(9) * oy[:] + mv(10) * oz[:] + mv(11)
+                        ldx[:] = mv(0) * dx[:] + mv(1) * dy[:] + mv(2) * dz[:]
+                        ldy[:] = mv(4) * dx[:] + mv(5) * dy[:] + mv(6) * dz[:]
+                        ldz[:] = mv(8) * dx[:] + mv(9) * dy[:] + mv(10) * dz[:]
+                        livx[:] = _safe_inv(ldx[:])
+                        livy[:] = _safe_inv(ldy[:])
+                        livz[:] = _safe_inv(ldz[:])
+                    return
 
                 def mv(c):
                     return minv[j * 12 + c]

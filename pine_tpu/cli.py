@@ -19,8 +19,9 @@ USAGE = """usage: pine <file.pine> [--platform P] [--progressive N] [--progressi
                      flag goes through jax.config.update, which wins.
 --progressive N      snapshot the film every N samples per pixel (the
                      TPU-native analog of the reference's interactive
-                     accumulation viewer, path_opengl.cpp:11-127); CPU
-                     backends write snapshots live, TPU flushes at exit
+                     accumulation viewer, path_opengl.cpp:11-127);
+                     snapshots are written to disk live as each batch
+                     finishes, on every backend
 --progressive-dir D  snapshot directory (default: progressive/)
 --interactive        after the script's first render, open a terminal
                      fly-camera loop (WASD move, E/C up/down, IJKL look,
@@ -82,6 +83,15 @@ def main(argv=None):
         print(USAGE)
         return 1
     path = args[0]
+    # Tunneled-TPU fast path: flip the axon client into synchronous
+    # dispatch before any render work.  In the default async mode every
+    # program pays ~3 s of queue service and no fence works; in sync mode
+    # dispatches block through real execution (~30 ms overhead) and film
+    # readbacks (saves, progressive snapshots, interactive frames) are
+    # ordinary transfers.  See core/device.py for the measurements.
+    from pine_tpu.core.device import engage_sync_dispatch
+
+    engage_sync_dispatch()
     from pine_tpu.core.profiler import Profiler
     from pine_tpu.core.progress import ProgressReporter
     from pine_tpu.prl.interp import interpret_file

@@ -3,12 +3,12 @@ the reference — the .pine script is the config, SURVEY §5.6 — so the few
 TPU-runtime knobs that make no sense as scene code live here).
 
 ``progressive_every``: if set, PathIntegrator renders in sample batches of
-this size and queues a tone-mapped film snapshot after each batch — the
+this size and writes a tone-mapped film snapshot after each batch — the
 TPU-native analog of the reference's interactive accumulation viewer
-(path_opengl.cpp:11-127).  On CPU backends snapshots flush to disk as they
-are produced (watch the render refine); on TPU they stay queued on device
-until script end, because any device->host readback permanently poisons
-this backend's dispatch path (core/capture.py).
+(path_opengl.cpp:11-127).  Snapshots flush to disk live on every backend:
+the CLI engages the tunneled TPU's synchronous dispatch mode at startup
+(core/device.py), in which a film readback is an ordinary ~50 ms transfer
+rather than the queue-mode poison earlier rounds worked around.
 """
 from __future__ import annotations
 
@@ -18,7 +18,13 @@ interactive = False  # --interactive: terminal fly-camera loop after render
 
 
 def progressive_flush_live():
-    """Snapshots may be written immediately only when readbacks are free."""
+    """Snapshots are written as produced.  CPU fences natively; on the
+    tunneled TPU this requires sync dispatch mode (engaged by the CLI —
+    core/device.engage_sync_dispatch)."""
     import jax
 
-    return jax.default_backend() == "cpu"
+    if jax.default_backend() == "cpu":
+        return True
+    from pine_tpu.core import device
+
+    return device._engaged

@@ -7,11 +7,11 @@ takes the keys, the browser shows the frames.  Each keypress moves the
 camera and re-dispatches the SAME compiled wavefront program at low spp —
 camera position/rotation are jit arguments (integrators/path.py cam
 rebinding), so a camera move costs one dispatch, not a recompile.  Frames
-are written to <dir>/latest.png next to a self-refreshing index.html on
-backends where device->host readback is free (CPU); on the TPU backend a
-readback permanently poisons the dispatch path (~1000x), so frames stay on
-device and only 'p' screenshots are queued (flushed at exit) — run with
---platform cpu for a live view until the readback constraint falls.
+are written to <dir>/latest.png next to a self-refreshing index.html and
+flush live on every backend: the CLI engages the tunneled TPU's
+synchronous dispatch mode at startup (core/device.py), in which a frame
+readback is an ordinary transfer, not the queue-mode poison earlier
+rounds worked around.
 
 Keys: WASD move, E/C up/down, IJKL look, [ ] halve/double spp,
 p screenshot, q quit.  PINE_INTERACTIVE_KEYS scripts the session
