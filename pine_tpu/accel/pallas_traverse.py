@@ -1049,9 +1049,15 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         prep(tmin, 0.0), prep(tmax, -1.0),
         prep(best_t, -1.0), prep(best_e, 0),
     )
+    import os
+
     if _grid_eligible(g):
-        if _grid_hbm(g):
-            # mesh scale: supercell-tree descent (near-first, best-t pruned)
+        if _grid_hbm(g) and os.environ.get("PINE_MESH_KERNEL", "sctree") == "sctree":
+            # mesh scale: supercell-tree descent (near-first, best-t pruned).
+            # PINE_MESH_KERNEL=grid forces the linear supercell-scan grid
+            # kernel instead (honest A/B: the scalar tree walk pays a
+            # vector->scalar sync per node pop, the scan only predicated
+            # slabs — see STATUS r4 on real-fence timings)
             tl = _sc_tree_layout(g)
             call = _compiled_sctree_call(
                 g["tid"], tl["width"], tl["n_prims"], any_hit, R
@@ -1064,7 +1070,7 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         grid_l = _grid_layout(g)
         call = _compiled_grid_call(
             g["tid"], grid_l["width"], grid_l["n_prims"],
-            grid_l["e_pad"], any_hit, R, hbm=False,
+            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g),
         )
         out_t, out_e = call(
             grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["table"], *args
