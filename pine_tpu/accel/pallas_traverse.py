@@ -417,6 +417,127 @@ def _make_dense_kernel(tid, width, n_prims, any_hit):
     return kernel
 
 
+SCD_CELL = 16  # prims per cull cell in the scdense kernel
+
+
+def _make_scdense_kernel(tid, width, n_prims, any_hit):
+    """Cell-culled dense kernel, prims broadcast from SMEM scalars.
+
+    Every op is full-width (8,128): prim params load on the scalar core and
+    broadcast for free, best_t/best_e updates are whole-block selects, and
+    there are no cross-sublane reductions (the grid kernel pays all three).
+    Work skips at two granularities — supercell (128 prims) then cell (16
+    prims, SAH leaf order keeps them spatially tight) — via whole-block slab
+    tests; any-hit additionally drains once every relevant lane is occluded.
+    For analytic groups up to a few thousand prims this is the fastest shape
+    under honest sync-dispatch timing (scripts_kernel_lab.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    test = PRIM_TESTS[tid]
+    n_super = (n_prims + SUPER - 1) // SUPER
+    cells_per_super = SUPER // SCD_CELL
+
+    def kernel(sc_boxes, cell_boxes, rows,
+               ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+               bt_out, be_out, bt_s, be_s):
+        invx = _safe_inv(dx[:])
+        invy = _safe_inv(dy[:])
+        invz = _safe_inv(dz[:])
+        bt_s[:] = tmx[:] if any_hit else bt_in[:]
+        be_s[:] = be_in[:]
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        tmin = tmn[:]
+
+        def live_mask(bx, base):
+            lx, ly, lz = bx[base], bx[base + 1], bx[base + 2]
+            ux, uy, uz = bx[base + 3], bx[base + 4], bx[base + 5]
+            t0x, t1x = (lx - o[0]) * invx, (ux - o[0]) * invx
+            t0y, t1y = (ly - o[1]) * invy, (uy - o[1]) * invy
+            t0z, t1z = (lz - o[2]) * invz, (uz - o[2]) * invz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
+            )
+            live = near <= far
+            if any_hit:
+                live = live & (be_s[:] == 0) & (tmx[:] > tmn[:])
+            return live
+
+        for si in range(n_super):
+            @pl.when(jnp.any(live_mask(sc_boxes, si * 6)))
+            def _(si=si):
+                for ci in range(cells_per_super):
+                    cell = si * cells_per_super + ci
+                    e0 = cell * SCD_CELL
+                    if e0 >= n_prims:
+                        continue
+
+                    @pl.when(jnp.any(live_mask(cell_boxes, cell * 6)))
+                    def _(e0=e0):
+                        for e in range(e0, min(e0 + SCD_CELL, n_prims)):
+                            def fetch(c, e=e):
+                                return rows[e * width + c]
+
+                            limit = tmx[:] if any_hit else bt_s[:]
+                            tt = test(fetch, o, d, tmin, limit)
+                            if any_hit:
+                                be_s[:] = jnp.maximum(
+                                    be_s[:], (tt < BIG).astype(jnp.int32)
+                                )
+                            else:
+                                better = tt < bt_s[:]
+                                bt_s[:] = jnp.where(better, tt, bt_s[:])
+                                be_s[:] = jnp.where(better, e, be_s[:])
+
+        if any_hit:
+            bt_out[:] = bt_in[:]
+        else:
+            bt_out[:] = bt_s[:]
+        be_out[:] = be_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_scdense_call(tid, width, n_prims, any_hit, n_rows):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    grid = (n_rows // K_SUB,)
+    ray_spec = pl.BlockSpec(
+        (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_scdense_kernel(tid, width, n_prims, any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[ray_spec] * 10,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[
+            pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
 # --------------------------------------------------------------------------
 # transposed grid kernel: prims ride SUBLANES via an (E,128) component table
 # (vector loads, zero scalar broadcasts in the prim loop); rays ride LANES.
@@ -428,7 +549,7 @@ CELL = 16  # retained for layout docs; culling is supercell (128) + coarse (2048
 SUPER = 128     # prims per supercell (8 cells)
 
 
-def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
+def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False):
     """Supercell-culled transposed dense kernel.
 
     State lives in VMEM scratch and all control flow is @pl.when predication
@@ -439,7 +560,13 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
     hbm=True (mesh-scale groups): the prim table stays in HBM and each TAKEN
     supercell's (SUPER,128) slice is DMA'd into a VMEM scratch buffer before
     its tile loop — VMEM holds only one supercell at a time, so triangle
-    counts are bounded by HBM, not VMEM."""
+    counts are bounded by HBM, not VMEM.
+
+    cells=True: inside a taken supercell, cull again at CELL32-prim
+    granularity (and per sublane-row) before testing tiles — a taken
+    supercell otherwise tests all 8 rows x 16 tiles even when one cell
+    overlaps the rays (honest-timing lab showed ~10x waste on coherent
+    mesh blocks)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -448,13 +575,15 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
     test = PRIM_TESTS[tid]
     n_super = (n_prims + SUPER - 1) // SUPER
     tiles_per_super = SUPER // 8
+    cells_per_super = SUPER // CELL32
+    tiles_per_cell = CELL32 // 8
 
     coarse_factor = 16
     n_super_pad = ((n_super + coarse_factor - 1) // coarse_factor) * coarse_factor
     n_coarse = n_super_pad // coarse_factor
     use_coarse = n_super > coarse_factor  # two-level culling for big groups
 
-    def kernel(coarse_boxes, sc_boxes, rows,
+    def kernel(coarse_boxes, sc_boxes, cell_boxes, rows,
                ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
                bt_out, be_out, bt_s, be_s, *extra):
         if hbm:
@@ -500,9 +629,55 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
             )
+            row_live = near <= far
+            if any_hit:
+                # drain: lanes already occluded (or asking no question) are
+                # dead; a supercell none of whose live lanes overlap is skipped
+                row_live = row_live & (be_s[:] == 0) & (tmx[:] > tmn[:])
             # padded supercells (coarse-level alignment) must never run: a
             # sorted slab test can't represent an empty box, so gate on index
-            sc_hit = jnp.any(near <= far) & (si < n_super)
+            sc_hit = jnp.any(row_live) & (si < n_super)
+
+            def test_tiles(si, live, tile0, n_tiles):
+                """Test n_tiles 8-prim tiles, culling per sublane row."""
+                for s in range(K_SUB):
+                    # per-row cull: coherent ray blocks (tile-major primaries)
+                    # often touch a cell with only some of their 8 rows
+                    row_any = jnp.any(live[s : s + 1, :])
+
+                    @pl.when(row_any)
+                    def _(s=s):
+                        o = (ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :])
+                        d = (dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :])
+                        tmin = tmn[s : s + 1, :]
+                        for tile in range(tile0, tile0 + n_tiles):
+                            p0 = si * SUPER + tile * 8
+                            buf_p0 = tile * 8 if hbm else p0
+
+                            def fetch(c, buf_p0=buf_p0):
+                                return row_buf[pl.ds(buf_p0, 8), c : c + 1]  # (8,1)
+
+                            row_bt = bt_s[s : s + 1, :]
+                            limit = tmx[s : s + 1, :] if any_hit else row_bt
+                            tt = test(fetch, o, d, tmin, limit)
+                            pid = p0 + sub_iota
+                            tt = jnp.where(pid < n_prims, tt, BIG)
+                            if any_hit:
+                                be_s[s : s + 1, :] = jnp.maximum(
+                                    be_s[s : s + 1, :],
+                                    jnp.max((tt < BIG).astype(jnp.int32), axis=0, keepdims=True),
+                                )
+                            else:
+                                tb = jnp.min(tt, axis=0, keepdims=True)
+                                eb = jnp.min(
+                                    jnp.where(tt == tb, pid, jnp.int32(2**30)),
+                                    axis=0, keepdims=True,
+                                )
+                                better = tb < row_bt
+                                bt_s[s : s + 1, :] = jnp.where(better, tb, row_bt)
+                                be_s[s : s + 1, :] = jnp.where(
+                                    better, eb, be_s[s : s + 1, :]
+                                )
 
             @pl.when(sc_hit)
             def _():
@@ -512,38 +687,38 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
                     )
                     cp.start()
                     cp.wait()
-                for s in range(K_SUB):
-                    o = (ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :])
-                    d = (dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :])
-                    tmin = tmn[s : s + 1, :]
-                    for tile in range(tiles_per_super):
-                        p0 = si * SUPER + tile * 8
-                        buf_p0 = tile * 8 if hbm else p0
-
-                        def fetch(c, buf_p0=buf_p0):
-                            return row_buf[pl.ds(buf_p0, 8), c : c + 1]  # (8,1)
-
-                        row_bt = bt_s[s : s + 1, :]
-                        limit = tmx[s : s + 1, :] if any_hit else row_bt
-                        tt = test(fetch, o, d, tmin, limit)
-                        pid = p0 + sub_iota
-                        tt = jnp.where(pid < n_prims, tt, BIG)
+                if not cells:
+                    test_tiles(si, row_live, 0, tiles_per_super)
+                else:
+                    for k in range(cells_per_super):
+                        cbase = (si * cells_per_super + k) * 6
+                        clx, cly, clz = (
+                            cell_boxes[cbase], cell_boxes[cbase + 1],
+                            cell_boxes[cbase + 2],
+                        )
+                        cux, cuy, cuz = (
+                            cell_boxes[cbase + 3], cell_boxes[cbase + 4],
+                            cell_boxes[cbase + 5],
+                        )
+                        ct0x, ct1x = (clx - ox[:]) * invx, (cux - ox[:]) * invx
+                        ct0y, ct1y = (cly - oy[:]) * invy, (cuy - oy[:]) * invy
+                        ct0z, ct1z = (clz - oz[:]) * invz, (cuz - oz[:]) * invz
+                        cnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(ct0x, ct1x), jnp.minimum(ct0y, ct1y)),
+                            jnp.maximum(jnp.minimum(ct0z, ct1z), tmn[:]),
+                        )
+                        cfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(ct0x, ct1x), jnp.maximum(ct0y, ct1y)),
+                            jnp.minimum(jnp.maximum(ct0z, ct1z), bt_s[:]),
+                        )
+                        cell_live = cnear <= cfar
                         if any_hit:
-                            be_s[s : s + 1, :] = jnp.maximum(
-                                be_s[s : s + 1, :],
-                                jnp.max((tt < BIG).astype(jnp.int32), axis=0, keepdims=True),
-                            )
-                        else:
-                            tb = jnp.min(tt, axis=0, keepdims=True)
-                            eb = jnp.min(
-                                jnp.where(tt == tb, pid, jnp.int32(2**30)),
-                                axis=0, keepdims=True,
-                            )
-                            better = tb < row_bt
-                            bt_s[s : s + 1, :] = jnp.where(better, tb, row_bt)
-                            be_s[s : s + 1, :] = jnp.where(
-                                better, eb, be_s[s : s + 1, :]
-                            )
+                            cell_live = cell_live & (be_s[:] == 0) & (tmx[:] > tmn[:])
+
+                        @pl.when(jnp.any(cell_live))
+                        def _(k=k, cell_live=cell_live):
+                            test_tiles(si, cell_live, k * tiles_per_cell,
+                                       tiles_per_cell)
 
             return 0
 
@@ -552,6 +727,8 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False):
             # otherwise spend most cycles on per-supercell slab tests)
             def do_coarse(ci, _):
                 hit_c = slab_any(coarse_boxes, ci * 6, bt_s[:] if not any_hit else tmx[:])
+                if any_hit:
+                    hit_c = hit_c & jnp.any((be_s[:] == 0) & (tmx[:] > tmn[:]))
 
                 @pl.when(hit_c)
                 def _():
@@ -866,17 +1043,33 @@ def _grid_layout(g):
         if len(real):
             cb[i, 0:3] = real[:, 0:3].min(0)
             cb[i, 3:6] = real[:, 3:6].max(0)
+    def cell_aabbs(cell):
+        n_cell = E_pad // cell
+        fb = np.zeros((n_cell, 6), np.float32)
+        fb[:, 0:3] = 1.0
+        fb[:, 3:6] = -1.0
+        for i in range((E + cell - 1) // cell):
+            seg = boxes[i * cell : min((i + 1) * cell, E)]
+            if len(seg):
+                fb[i, 0:3] = seg[:, 0:3].min(0)
+                fb[i, 3:6] = seg[:, 3:6].max(0)
+        return jnp.asarray(fb.reshape(-1))
+
     g["_grid"] = dict(
         table=jnp.asarray(table),
         coarse_boxes=jnp.asarray(cb.reshape(-1)),
         sc_boxes=jnp.asarray(sb.reshape(-1)),
+        # fine cull levels: SCD_CELL for scdense, CELL32 for the grid kernel
+        scd_cell_boxes=cell_aabbs(SCD_CELL),
+        cell32_boxes=cell_aabbs(CELL32),
         n_prims=E, width=W, e_pad=E_pad,
     )
     return g["_grid"]
 
 
 @functools.lru_cache(maxsize=256)
-def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
+def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
+                        cells=False):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -892,7 +1085,8 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
         table_spec = pl.BlockSpec(
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
-    kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm)
+    kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm,
+                               cells=cells)
     scratch = [
         pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
         pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
@@ -903,7 +1097,7 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
             pltpu.SemaphoreType.DMA(()),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[table_spec] + [ray_spec] * 10,
         out_specs=(ray_spec, ray_spec),
@@ -926,6 +1120,7 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False):
 
 GRID_MAX_PRIMS = 8192  # (E,128) f32 table <= 4 MB VMEM (above: HBM + DMA)
 GRID_MAX_PRIMS_HBM = 2_000_000  # supercell boxes must fit SMEM
+GRID_CELLS_MAX_PRIMS = 262_144  # CELL32 cull boxes <= ~192 KB of SMEM
 
 
 def _grid_eligible(g):
@@ -1023,12 +1218,25 @@ def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
     return call
 
 
-def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
+def _group_variant(g):
+    """Default kernel choice for a group (overridable via env for A/B)."""
+    import os
+
+    if _grid_eligible(g):
+        if _grid_hbm(g):
+            return os.environ.get("PINE_MESH_KERNEL", "sctree")
+        return os.environ.get("PINE_SMALL_KERNEL", "grid")
+    return g["kind"]  # smem bvh walk or smem dense
+
+
+def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
+                       variant=None):
     """Run one group's Pallas kernel over a flat wavefront.
 
     closest-hit: best_e carries LOCAL slot ids on input for this group's rows
     (caller translates via base); returns (best_t, best_e_local).
     any-hit: best_e in/out is the 0/1 occlusion flag; best_t passes through.
+    variant: force a kernel ("grid", "sctree", "dense", "bvh"); None = auto.
     """
     import jax.numpy as jnp
 
@@ -1049,41 +1257,50 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         prep(tmin, 0.0), prep(tmax, -1.0),
         prep(best_t, -1.0), prep(best_e, 0),
     )
-    import os
+    if variant is None:
+        variant = _group_variant(g)
 
-    if _grid_eligible(g):
-        if _grid_hbm(g) and os.environ.get("PINE_MESH_KERNEL", "sctree") == "sctree":
-            # mesh scale: supercell-tree descent (near-first, best-t pruned).
-            # PINE_MESH_KERNEL=grid forces the linear supercell-scan grid
-            # kernel instead (honest A/B: the scalar tree walk pays a
-            # vector->scalar sync per node pop, the scan only predicated
-            # slabs — see STATUS r4 on real-fence timings)
-            tl = _sc_tree_layout(g)
-            call = _compiled_sctree_call(
-                g["tid"], tl["width"], tl["n_prims"], any_hit, R
-            )
-            out_t, out_e = call(
-                tl["boxes"], tl["cnode"], tl["cstart"], tl["ccount"],
-                tl["sc_order"], tl["cell_boxes"], tl["table"], *args,
-            )
-            return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
-        grid_l = _grid_layout(g)
-        call = _compiled_grid_call(
-            g["tid"], grid_l["width"], grid_l["n_prims"],
-            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g),
+    if variant == "sctree":
+        tl = _sc_tree_layout(g)
+        call = _compiled_sctree_call(
+            g["tid"], tl["width"], tl["n_prims"], any_hit, R
         )
         out_t, out_e = call(
-            grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["table"], *args
+            tl["boxes"], tl["cnode"], tl["cstart"], tl["ccount"],
+            tl["sc_order"], tl["cell_boxes"], tl["table"], *args,
+        )
+        return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
+    if variant == "grid":
+        grid_l = _grid_layout(g)
+        # cell-level culling needs CELL32 boxes resident in SMEM; cap them
+        cells = grid_l["n_prims"] <= GRID_CELLS_MAX_PRIMS
+        call = _compiled_grid_call(
+            g["tid"], grid_l["width"], grid_l["n_prims"],
+            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g), cells=cells,
+        )
+        out_t, out_e = call(
+            grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["cell32_boxes"],
+            grid_l["table"], *args,
+        )
+        return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
+    if variant == "scdense":
+        grid_l = _grid_layout(g)
+        smem = _group_smem_arrays(g)
+        call = _compiled_scdense_call(
+            g["tid"], smem["width"], grid_l["n_prims"], any_hit, R
+        )
+        out_t, out_e = call(
+            grid_l["sc_boxes"], grid_l["scd_cell_boxes"], smem["rows"], *args
         )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
 
     smem = _group_smem_arrays(g)
     call = _compiled_call(
-        g["tid"], smem["width"], g["kind"],
-        0 if g["kind"] == "bvh" else int(g["rows"].shape[0]),
+        g["tid"], smem["width"], variant,
+        0 if variant == "bvh" else int(g["rows_np"].shape[0]),
         any_hit, R,
     )
-    if g["kind"] == "bvh":
+    if variant == "bvh":
         out_t, out_e = call(
             smem["boxes"], smem["cnode"], smem["cstart"], smem["ccount"],
             smem["rows"], *args,

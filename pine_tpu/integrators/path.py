@@ -225,9 +225,16 @@ def render_wavefront(
 
         if _use_pallas() and any(not _ip_supports(g) for g in inst_groups):
             spp_inner = 1
+    import os as _os
+
     key = (
         _scene_token(cscene), _sampler_key(sampler), cam_key,
         W, H, spp_inner, max_depth, seed, nee, chunk,
+        # kernel/sort selection knobs are read at trace time: a changed knob
+        # must not reuse a program traced under the old one
+        _os.environ.get("PINE_SMALL_KERNEL", "grid"),
+        _os.environ.get("PINE_MESH_KERNEL", "sctree"),
+        _os.environ.get("PINE_SORT_RAYS", "auto"),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays
 
@@ -366,8 +373,11 @@ def nee_contribution(cscene, p_s, ns, state, wi, ls, alive):
     bxdf_delta = bxdf_mod.is_delta(state)
     do_nee = alive & ls["valid"] & ~bxdf_delta & (ls["pdf"] > 0.0)
     so = offset_ray_origin(p_s, face_forward(ns, ls["wo"]))
+    # lanes casting no shadow ray get tmax=-1: the coherence sort packs them
+    # into all-dead blocks the any-hit kernels skip outright
     occluded = cscene.any_hit(
-        so, ls["wo"], jnp.zeros((n,), f32), ls["distance"] * (1.0 - 1e-3)
+        so, ls["wo"], jnp.zeros((n,), f32),
+        jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), -1.0),
     )
     wo_l = to_local(ns, ls["wo"])
     f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
@@ -488,16 +498,13 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         dim = 4 + depth * 16
         n_rays = n_rays + jnp.sum(alive.astype(f32))
 
-        # Mesh-scale scenes: dead lanes get tmax=-1, so their stale rays
-        # miss every slab immediately instead of re-walking the tree and
-        # widening each packet's traversal footprint (+24% on the terrain
-        # bench, most lanes of a block dead at depth>=2).  Tiny dense scenes
-        # keep the constant: the masked tmax measurably perturbs XLA's
-        # fusion there (cbox 1404->643 Mray/s) for zero traversal savings.
-        if getattr(cscene, "heavy_traversal", False):
-            tmax_d = jnp.where(alive, FLOAT_MAX, -1.0)
-        else:
-            tmax_d = jnp.full((n,), FLOAT_MAX, f32)
+        # Dead lanes get tmax=-1: their stale rays miss every slab up front,
+        # and the coherence sort (scene._ray_sort_perm) packs them into
+        # all-dead blocks the kernels skip whole.  (The old round-3 gate that
+        # kept constant tmax on tiny scenes was tuned under async-mode
+        # dispatch-only walls; under honest sync timing masking wins or ties
+        # everywhere.)
+        tmax_d = jnp.where(alive, FLOAT_MAX, -1.0)
         t, gidx, hitm, mesh_tri = cscene.intersect(ro, rd, tmin, tmax_d)
         hitm = hitm & alive
 

@@ -28,6 +28,66 @@ BIG = I.BIG
 FLATTEN_LIMIT = 200_000
 
 
+def _spread10(x):
+    """Interleave-ready bit spread: 10 low bits -> every 3rd bit."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
+    """Wavefront coherence sort: (dead, direction octant, origin morton).
+
+    The Pallas traversal kernels cull at (8,128)-ray-block granularity; a
+    block of incoherent bounce rays overlaps every supercell and the culls
+    do nothing (honest-timing lab: terrain incoherent = a full dense scan).
+    Sorting lanes so a block shares an origin cell + direction octant makes
+    the block footprint small again, and packing dead lanes (tmax<=tmin)
+    last turns them into all-dead blocks the kernels skip outright — block-
+    level stream compaction without moving any per-lane payload twice.
+
+    Pure permutation: per-lane results are bitwise identical, only kernel
+    work changes.  Returns (perm, inv_perm)."""
+    n = ro.shape[0]
+    q = jnp.clip(
+        ((ro - world_lo) * (32.0 / world_span)).astype(jnp.int32), 0, 31
+    )
+    m = (
+        _spread10(q[:, 0])
+        | (_spread10(q[:, 1]) << 1)
+        | (_spread10(q[:, 2]) << 2)
+    )
+    octant = (
+        (rd[:, 0] < 0).astype(jnp.int32)
+        + 2 * (rd[:, 1] < 0).astype(jnp.int32)
+        + 4 * (rd[:, 2] < 0).astype(jnp.int32)
+    )
+    dead = (tmax <= tmin).astype(jnp.int32)
+    key = m | (octant << 15) | (dead << 20)
+    perm = jnp.argsort(key)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return perm, inv
+
+
+def _sort_rays_enabled(n):
+    """Coherence sort gate: pallas kernels in use and a real wavefront."""
+    import os
+
+    flag = os.environ.get("PINE_SORT_RAYS", "auto")
+    if flag == "0":
+        return False
+    from pine_tpu.accel.packet import _use_pallas
+
+    if not _use_pallas():
+        return False
+    return n >= 4096 or flag == "1"
+
+
 class Scene:
     def __init__(self):
         self.materials = {}  # name -> Material
@@ -326,6 +386,13 @@ class CompiledScene:
                 if g["kind"] != "instanced"
             )
         )
+        # world bounds for the wavefront coherence sort's origin morton key
+        # (host-side floats: static at trace time)
+        lo_w, up_w = scene.get_aabb()
+        if not (np.isfinite(lo_w).all() and np.isfinite(up_w).all()):
+            lo_w, up_w = np.zeros(3, np.float32), np.ones(3, np.float32)
+        self.world_lo = np.asarray(lo_w, np.float32)
+        self.world_span = float(max(float(np.max(up_w - lo_w)), 1e-6))
 
     # ---- device-side queries ----------------------------------------------
     def intersect(self, ro, rd, tmin, tmax, want_closest=True):
@@ -339,13 +406,22 @@ class CompiledScene:
         if self.unified is not None:
             from pine_tpu.accel.packet import packet_intersect
 
-            t, ent = packet_intersect(
-                self.unified,
-                ro,
-                rd,
-                jnp.broadcast_to(jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, (n,)),
-                jnp.broadcast_to(jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)),
+            tmin_f = jnp.broadcast_to(
+                jnp.ravel(tmin) if jnp.ndim(tmin) else tmin, (n,)
             )
+            tmax_f = jnp.broadcast_to(
+                jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)
+            )
+            if _sort_rays_enabled(n):
+                perm, inv = _ray_sort_perm(
+                    ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+                )
+                t, ent = packet_intersect(
+                    self.unified, ro[perm], rd[perm], tmin_f[perm], tmax_f[perm]
+                )
+                t, ent = t[inv], ent[inv]
+            else:
+                t, ent = packet_intersect(self.unified, ro, rd, tmin_f, tmax_f)
             from pine_tpu.accel.packet import ent_to_gidx
 
             better = t < best_t
@@ -391,7 +467,15 @@ class CompiledScene:
         if self.unified is not None:
             from pine_tpu.accel.packet import packet_any_hit
 
-            occ = packet_any_hit(self.unified, ro, rd, tmin_f, tmax_f)
+            if _sort_rays_enabled(n):
+                perm, inv = _ray_sort_perm(
+                    ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+                )
+                occ = packet_any_hit(
+                    self.unified, ro[perm], rd[perm], tmin_f[perm], tmax_f[perm]
+                )[inv]
+            else:
+                occ = packet_any_hit(self.unified, ro, rd, tmin_f, tmax_f)
         else:
             for tid, params in self.tables.items():
                 tmat = I.INTERSECT[tid](params, ro, rd, tmin_f[:, None], tmax_f[:, None])
