@@ -343,6 +343,12 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                 PT._grid_layout(g)
                 if PT._grid_hbm(g):
                     PT._sc_tree_layout(g)
+                else:
+                    # small groups: the PINE_SMALL_KERNEL knob may select the
+                    # dense/scdense/bvh variants at trace time — prebuild their
+                    # SMEM layout too so the captured-array structure (and the
+                    # no-captured-constants discipline) is knob-independent
+                    PT._group_smem_arrays(g)
             else:
                 PT._group_smem_arrays(g)
 

@@ -1218,14 +1218,29 @@ def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
     return call
 
 
+DENSE_DEFAULT_MAX = 512  # honest A/B (STATUS r4): dense beats grid <= ~0.5k
+
+
 def _group_variant(g):
-    """Default kernel choice for a group (overridable via env for A/B)."""
+    """Default kernel choice for a group (overridable via env for A/B).
+
+    Defaults come from honest sync-dispatch A/Bs on the real chip
+    (scripts_render_ab.py / scripts_kernel_lab.py): small analytic groups run
+    fastest as a straight SMEM-broadcast dense sweep (cbox 424-cone group:
+    dense 3.64s vs grid 4.89s render wall); mid-size groups keep the culled
+    grid kernel; mesh-scale (HBM) groups keep the supercell tree."""
     import os
 
     if _grid_eligible(g):
         if _grid_hbm(g):
-            return os.environ.get("PINE_MESH_KERNEL", "sctree")
-        return os.environ.get("PINE_SMALL_KERNEL", "grid")
+            # r4 A/B: cell-culled grid scan 14.1s vs sctree 14.9s on the
+            # sorted terrain render, and ~3x faster to compile (40s vs 122s)
+            return os.environ.get("PINE_MESH_KERNEL", "grid")
+        small = os.environ.get("PINE_SMALL_KERNEL")
+        if small:
+            return small
+        n = int(g["rows_np"].shape[0])
+        return "dense" if n <= DENSE_DEFAULT_MAX else "grid"
     return g["kind"]  # smem bvh walk or smem dense
 
 

@@ -232,8 +232,8 @@ def render_wavefront(
         W, H, spp_inner, max_depth, seed, nee, chunk,
         # kernel/sort selection knobs are read at trace time: a changed knob
         # must not reuse a program traced under the old one
-        _os.environ.get("PINE_SMALL_KERNEL", "grid"),
-        _os.environ.get("PINE_MESH_KERNEL", "sctree"),
+        _os.environ.get("PINE_SMALL_KERNEL", ""),
+        _os.environ.get("PINE_MESH_KERNEL", "grid"),
         _os.environ.get("PINE_SORT_RAYS", "auto"),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays

@@ -74,8 +74,14 @@ def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
     return perm, inv
 
 
-def _sort_rays_enabled(n):
-    """Coherence sort gate: pallas kernels in use and a real wavefront."""
+def _sort_rays_enabled(n, heavy):
+    """Coherence sort gate: pallas kernels in use and a real wavefront.
+
+    auto = heavy-traversal scenes only.  Honest A/B on the real chip
+    (scripts_render_ab.py, STATUS r4): the argsort costs ~2ms per query at
+    64k lanes; on the 99k-tri terrain it buys 2.2-2.3x render wall (34.5s
+    -> 14.1s), on the small cbox it costs more than the culls save (3.6s ->
+    5.6s).  PINE_SORT_RAYS=1/0 forces either way."""
     import os
 
     flag = os.environ.get("PINE_SORT_RAYS", "auto")
@@ -85,7 +91,9 @@ def _sort_rays_enabled(n):
 
     if not _use_pallas():
         return False
-    return n >= 4096 or flag == "1"
+    if n < 4096:
+        return False
+    return heavy or flag == "1"
 
 
 class Scene:
@@ -412,7 +420,7 @@ class CompiledScene:
             tmax_f = jnp.broadcast_to(
                 jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)
             )
-            if _sort_rays_enabled(n):
+            if _sort_rays_enabled(n, self.heavy_traversal):
                 perm, inv = _ray_sort_perm(
                     ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
                 )
@@ -467,7 +475,7 @@ class CompiledScene:
         if self.unified is not None:
             from pine_tpu.accel.packet import packet_any_hit
 
-            if _sort_rays_enabled(n):
+            if _sort_rays_enabled(n, self.heavy_traversal):
                 perm, inv = _ray_sort_perm(
                     ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
                 )
