@@ -549,7 +549,8 @@ CELL = 16  # retained for layout docs; culling is supercell (128) + coarse (2048
 SUPER = 128     # prims per supercell (8 cells)
 
 
-def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False):
+def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
+                      octorder=False):
     """Supercell-culled transposed dense kernel.
 
     State lives in VMEM scratch and all control flow is @pl.when predication
@@ -566,7 +567,14 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False):
     granularity (and per sublane-row) before testing tiles — a taken
     supercell otherwise tests all 8 rows x 16 tiles even when one cell
     overlaps the rays (honest-timing lab showed ~10x waste on coherent
-    mesh blocks)."""
+    mesh blocks).
+
+    octorder=True: scan coarse boxes and supercells near-to-far along each
+    ray block's dominant direction octant (precomputed SMEM permutations,
+    one per octant; the block's octant arrives as a per-block scalar).
+    Near-first order shrinks best_t early, so later supercells fail their
+    slab test and cost ~25 vector ops instead of a full 5k-op tile sweep —
+    the scan equivalent of bvh.cpp's ordered descent."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -583,9 +591,15 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False):
     n_coarse = n_super_pad // coarse_factor
     use_coarse = n_super > coarse_factor  # two-level culling for big groups
 
-    def kernel(coarse_boxes, sc_boxes, cell_boxes, rows,
-               ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
-               bt_out, be_out, bt_s, be_s, *extra):
+    if octorder and not use_coarse:
+        raise ValueError("octorder requires the coarse level (hbm meshes)")
+
+    def kernel(coarse_boxes, sc_boxes, cell_boxes, *rest):
+        if octorder:
+            c_order, s_order, blk_oct = rest[:3]
+            rest = rest[3:]
+        (rows, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+         bt_out, be_out, bt_s, be_s, *extra) = rest
         if hbm:
             row_buf, dma_sem = extra
         else:
@@ -725,16 +739,31 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False):
         if use_coarse:
             # outer cull over groups of 16 supercells (big meshes would
             # otherwise spend most cycles on per-supercell slab tests)
+            if octorder:
+                oct = blk_oct[pl.program_id(0)]
+
             def do_coarse(ci, _):
+                if octorder:
+                    ci = c_order[oct * n_coarse + ci]
                 hit_c = slab_any(coarse_boxes, ci * 6, bt_s[:] if not any_hit else tmx[:])
                 if any_hit:
                     hit_c = hit_c & jnp.any((be_s[:] == 0) & (tmx[:] > tmn[:]))
 
                 @pl.when(hit_c)
                 def _():
-                    jax.lax.fori_loop(
-                        ci * coarse_factor, (ci + 1) * coarse_factor, do_super, 0
-                    )
+                    if octorder:
+                        def do_super_k(k, _):
+                            return do_super(
+                                s_order[oct * n_super_pad
+                                        + ci * coarse_factor + k], 0
+                            )
+
+                        jax.lax.fori_loop(0, coarse_factor, do_super_k, 0)
+                    else:
+                        jax.lax.fori_loop(
+                            ci * coarse_factor, (ci + 1) * coarse_factor,
+                            do_super, 0,
+                        )
 
                 return 0
 
@@ -1055,6 +1084,30 @@ def _grid_layout(g):
                 fb[i, 3:6] = seg[:, 3:6].max(0)
         return jnp.asarray(fb.reshape(-1))
 
+    def octant_orders(bx, segment=None):
+        """Per-octant near-first visit orders by AABB centroid projected on
+        the travel diagonal.  Empty (padded) boxes sort last.  segment=k
+        sorts independently within each k-long run (supercells must stay
+        under their coarse parent)."""
+        m = len(bx)
+        cxyz = (bx[:, 0:3] + bx[:, 3:6]) * 0.5
+        empty = bx[:, 0] > bx[:, 3]
+        orders = np.zeros((8, m), np.int32)
+        for o in range(8):
+            s = np.array([-1.0 if o & 1 else 1.0,
+                          -1.0 if o & 2 else 1.0,
+                          -1.0 if o & 4 else 1.0], np.float32)
+            key = cxyz @ s
+            key[empty] = np.inf
+            if segment is None:
+                orders[o] = np.argsort(key, kind="stable").astype(np.int32)
+            else:
+                for i in range(0, m, segment):
+                    orders[o, i : i + segment] = i + np.argsort(
+                        key[i : i + segment], kind="stable"
+                    ).astype(np.int32)
+        return jnp.asarray(orders.reshape(-1))
+
     g["_grid"] = dict(
         table=jnp.asarray(table),
         coarse_boxes=jnp.asarray(cb.reshape(-1)),
@@ -1062,6 +1115,10 @@ def _grid_layout(g):
         # fine cull levels: SCD_CELL for scdense, CELL32 for the grid kernel
         scd_cell_boxes=cell_aabbs(SCD_CELL),
         cell32_boxes=cell_aabbs(CELL32),
+        # near-first scan orders (one per direction octant): coarse boxes
+        # globally, supercells within their 16-wide coarse segment
+        c_order8=octant_orders(cb),
+        s_order8=octant_orders(sb, segment=16),
         n_prims=E, width=W, e_pad=E_pad,
     )
     return g["_grid"]
@@ -1069,7 +1126,7 @@ def _grid_layout(g):
 
 @functools.lru_cache(maxsize=256)
 def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
-                        cells=False):
+                        cells=False, octorder=False):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1086,7 +1143,7 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
     kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm,
-                               cells=cells)
+                               cells=cells, octorder=octorder)
     scratch = [
         pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
         pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
@@ -1097,7 +1154,7 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
             pltpu.SemaphoreType.DMA(()),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6 if octorder else 3,
         grid=grid,
         in_specs=[table_spec] + [ray_spec] * 10,
         out_specs=(ray_spec, ray_spec),
@@ -1286,17 +1343,48 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
     if variant == "grid":
+        import os
+
         grid_l = _grid_layout(g)
         # cell-level culling needs CELL32 boxes resident in SMEM; cap them
         cells = grid_l["n_prims"] <= GRID_CELLS_MAX_PRIMS
+        hbm = _grid_hbm(g)
+        # near-first octant-ordered scan: mesh-scale groups (which have the
+        # coarse level the ordering rides on); PINE_OCTORDER=0 disables
+        octorder = (
+            hbm
+            and grid_l["e_pad"] // SUPER > 16  # kernel's use_coarse condition
+            and os.environ.get("PINE_OCTORDER", "1") != "0"
+        )
         call = _compiled_grid_call(
             g["tid"], grid_l["width"], grid_l["n_prims"],
-            grid_l["e_pad"], any_hit, R, hbm=_grid_hbm(g), cells=cells,
+            grid_l["e_pad"], any_hit, R, hbm=hbm, cells=cells,
+            octorder=octorder,
         )
-        out_t, out_e = call(
-            grid_l["coarse_boxes"], grid_l["sc_boxes"], grid_l["cell32_boxes"],
-            grid_l["table"], *args,
-        )
+        if octorder:
+            # dominant direction octant per (8,128)-ray block, from the
+            # block's first lane (the coherence sort makes blocks
+            # octant-uniform; boundary blocks just get a harmless order)
+            n_blocks = R // K_SUB
+            first = jnp.minimum(
+                jnp.arange(n_blocks, dtype=jnp.int32) * KP, n - 1
+            )
+            d0 = rd[first]
+            blk_oct = (
+                (d0[:, 0] < 0).astype(jnp.int32)
+                + 2 * (d0[:, 1] < 0).astype(jnp.int32)
+                + 4 * (d0[:, 2] < 0).astype(jnp.int32)
+            )
+            out_t, out_e = call(
+                grid_l["coarse_boxes"], grid_l["sc_boxes"],
+                grid_l["cell32_boxes"], grid_l["c_order8"],
+                grid_l["s_order8"], blk_oct, grid_l["table"], *args,
+            )
+        else:
+            out_t, out_e = call(
+                grid_l["coarse_boxes"], grid_l["sc_boxes"],
+                grid_l["cell32_boxes"], grid_l["table"], *args,
+            )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
     if variant == "scdense":
         grid_l = _grid_layout(g)

@@ -235,6 +235,7 @@ def render_wavefront(
         _os.environ.get("PINE_SMALL_KERNEL", ""),
         _os.environ.get("PINE_MESH_KERNEL", "grid"),
         _os.environ.get("PINE_SORT_RAYS", "auto"),
+        _os.environ.get("PINE_OCTORDER", "1"),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays
 
