@@ -550,7 +550,7 @@ SUPER = 128     # prims per supercell (8 cells)
 
 
 def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
-                      octorder=False):
+                      octorder=False, probe=""):
     """Supercell-culled transposed dense kernel.
 
     State lives in VMEM scratch and all control flow is @pl.when predication
@@ -666,7 +666,15 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
                         tmin = tmn[s : s + 1, :]
                         for tile in range(tile0, tile0 + n_tiles):
                             p0 = si * SUPER + tile * 8
-                            buf_p0 = tile * 8 if hbm else p0
+                            if hbm and use_coarse:
+                                # whole coarse group resident: offset by the
+                                # supercell's position within its parent
+                                si_local = si - (si // coarse_factor) * coarse_factor
+                                buf_p0 = si_local * SUPER + tile * 8
+                            elif hbm:
+                                buf_p0 = tile * 8
+                            else:
+                                buf_p0 = p0
 
                             def fetch(c, buf_p0=buf_p0):
                                 return row_buf[pl.ds(buf_p0, 8), c : c + 1]  # (8,1)
@@ -693,9 +701,12 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
                                     better, eb, be_s[s : s + 1, :]
                                 )
 
+            if probe == "slabs":  # timing probe: culls only, no prim work
+                return 0
+
             @pl.when(sc_hit)
             def _():
-                if hbm:
+                if hbm and not use_coarse and probe != "nodma":
                     cp = pltpu.make_async_copy(
                         rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
                     )
@@ -751,6 +762,21 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
 
                 @pl.when(hit_c)
                 def _():
+                    if hbm and probe != "nodma":
+                        # one 16-supercell (1 MB) DMA per taken coarse group:
+                        # per-supercell copies serialized ~100 start/wait
+                        # stalls per block (measured via the probe decomp);
+                        # batching trades a little spare HBM bandwidth for
+                        # 16x fewer latency hits
+                        cp = pltpu.make_async_copy(
+                            rows.at[
+                                pl.ds(ci * coarse_factor * SUPER,
+                                      coarse_factor * SUPER), :,
+                            ],
+                            row_buf, dma_sem,
+                        )
+                        cp.start()
+                        cp.wait()
                     if octorder:
                         def do_super_k(k, _):
                             return do_super(
@@ -1043,6 +1069,10 @@ def _grid_layout(g):
         rows = rows[: rows.shape[0] - LEAF_MAX]  # drop builder padding
     E, W = rows.shape
     E_pad = ((E + SUPER - 1) // SUPER) * SUPER
+    if _grid_hbm(g):
+        # hbm tables DMA one whole 16-supercell coarse group at a time:
+        # align to the coarse stride so the last group's slice is in-bounds
+        E_pad = ((E_pad + 16 * SUPER - 1) // (16 * SUPER)) * (16 * SUPER)
     table = np.zeros((E_pad, 128), np.float32)
     table[:E, :W] = rows
     # CRITICAL: pad with a replicated VALID row, not zeros.  Zero rows make
@@ -1126,7 +1156,7 @@ def _grid_layout(g):
 
 @functools.lru_cache(maxsize=256)
 def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
-                        cells=False, octorder=False):
+                        cells=False, octorder=False, probe=""):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1143,14 +1173,16 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
     kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm,
-                               cells=cells, octorder=octorder)
+                               cells=cells, octorder=octorder, probe=probe)
     scratch = [
         pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
         pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
     ]
     if hbm:
+        n_super = (n_prims + SUPER - 1) // SUPER
+        buf_rows = (16 * SUPER) if n_super > 16 else SUPER  # coarse-group DMA
         scratch += [
-            pltpu.VMEM((SUPER, K_LANE), jnp.float32),
+            pltpu.VMEM((buf_rows, K_LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1360,6 +1392,10 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
             g["tid"], grid_l["width"], grid_l["n_prims"],
             grid_l["e_pad"], any_hit, R, hbm=hbm, cells=cells,
             octorder=octorder,
+            # timing decomposition for the kernel lab ONLY (wrong results):
+            # "slabs" = culls without prim work; "nodma" = prim work on a
+            # stale buffer (no per-supercell DMA serialization)
+            probe=os.environ.get("PINE_GRID_PROBE", ""),
         )
         if octorder:
             # dominant direction octant per (8,128)-ray block, from the

@@ -236,6 +236,7 @@ def render_wavefront(
         _os.environ.get("PINE_MESH_KERNEL", "grid"),
         _os.environ.get("PINE_SORT_RAYS", "auto"),
         _os.environ.get("PINE_OCTORDER", "1"),
+        _os.environ.get("PINE_SORT_DIRBITS", "3"),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays
 
@@ -365,7 +366,7 @@ def sample_one_light(cscene, p_s, u_sel, u_light, ctx):
     return ls
 
 
-def nee_contribution(cscene, p_s, ns, state, wi, ls, alive):
+def nee_contribution(cscene, p_s, ns, state, wi, ls, alive, sort_perm="auto"):
     """Shadow-tested NEE contribution at a surface vertex (path.cpp:98-113).
 
     -> (contrib (N,3) WITHOUT beta, did_cast (N,) bool)."""
@@ -375,10 +376,13 @@ def nee_contribution(cscene, p_s, ns, state, wi, ls, alive):
     do_nee = alive & ls["valid"] & ~bxdf_delta & (ls["pdf"] > 0.0)
     so = offset_ray_origin(p_s, face_forward(ns, ls["wo"]))
     # lanes casting no shadow ray get tmax=-1: the coherence sort packs them
-    # into all-dead blocks the any-hit kernels skip outright
+    # into all-dead blocks the any-hit kernels skip outright.  sort_perm:
+    # the depth-shared perm (keyed on the bounce continuation) — shadow
+    # origins are the same hit points, so origin locality carries over.
     occluded = cscene.any_hit(
         so, ls["wo"], jnp.zeros((n,), f32),
         jnp.where(do_nee, ls["distance"] * (1.0 - 1e-3), -1.0),
+        sort_perm=sort_perm,
     )
     wo_l = to_local(ns, ls["wo"])
     f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
@@ -504,9 +508,13 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         # all-dead blocks the kernels skip whole.  (The old round-3 gate that
         # kept constant tmax on tiny scenes was tuned under async-mode
         # dispatch-only walls; under honest sync timing masking wins or ties
-        # everywhere.)
+        # everywhere.)  Depth 0 skips the sort outright: the film's
+        # tile-major chunking already makes primary blocks coherent.
         tmax_d = jnp.where(alive, FLOAT_MAX, -1.0)
-        t, gidx, hitm, mesh_tri = cscene.intersect(ro, rd, tmin, tmax_d)
+        t, gidx, hitm, mesh_tri = cscene.intersect(
+            ro, rd, tmin, tmax_d,
+            sort_perm=None if depth == 0 else carry_perm,
+        )
         hitm = hitm & alive
 
         # ---- medium single scatter (path.cpp:50-73, equiangular NEE) ----
@@ -661,16 +669,11 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
             ctx = dict(p=p_s, n=ns, uv=uv)
         wi = to_local(ns, wi_world)
 
-        # ---- NEE (path.cpp:98-113) ----
-        if n_lights > 0 and nee:
-            u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
-            u_light = sampler.u2(xs, ys, sample_index, dim + 1)
-            ls = sample_one_light(cscene, p_s, u_sel, u_light, ctx)
-            contrib, do_nee = nee_contribution(cscene, p_s, ns, state, wi, ls, surf)
-            n_rays = n_rays + jnp.sum(do_nee.astype(f32))
-            L_indirect = L_indirect + beta * contrib
-
-        # ---- BSDF sampling & continuation (path.cpp:114-120) ----
+        # ---- BSDF sampling (path.cpp:114-120) — SAMPLED before NEE so the
+        # bounce direction can key ONE coherence-sort perm per depth, shared
+        # by this depth's shadow rays and the next depth's intersect (the
+        # argsort is ~2ms per query at 64k lanes; sampler dims are explicit
+        # constants so evaluation order does not change any estimate) ----
         u_wm = sampler.u2(xs, ys, sample_index, dim + 5)
         u_fr = sampler.u1(xs, ys, sample_index, dim + 7)
         u_cos = sampler.u2(xs, ys, sample_index, dim + 8)
@@ -678,21 +681,38 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         wo_world = to_world(ns, bs["wo"])
         cosine = jnp.abs(dot(wo_world, ns))
         thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
-        surf = surf & bs["valid"]
-        alive = surf | med_scatter
+        surf_next = surf & bs["valid"]
+        alive_next = surf_next | med_scatter
+        ro_surf = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        if getattr(cscene, "grid_media", None):
+            ro_next = jnp.where(med_scatter[:, None], med_ro, ro_surf)
+            rd_next = jnp.where(med_scatter[:, None], med_rd, wo_world)
+            tmin_next = jnp.where(med_scatter, 1e-4, 0.0)
+        else:
+            ro_next = ro_surf
+            rd_next = wo_world
+            tmin_next = jnp.zeros((n,), f32)
+        carry_perm = cscene.sort_perm(ro_next, rd_next, ~alive_next)
+
+        # ---- NEE (path.cpp:98-113) ----
+        if n_lights > 0 and nee:
+            u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
+            u_light = sampler.u2(xs, ys, sample_index, dim + 1)
+            ls = sample_one_light(cscene, p_s, u_sel, u_light, ctx)
+            contrib, do_nee = nee_contribution(
+                cscene, p_s, ns, state, wi, ls, surf, sort_perm=carry_perm
+            )
+            n_rays = n_rays + jnp.sum(do_nee.astype(f32))
+            L_indirect = L_indirect + beta * contrib
+
+        # ---- continuation state commit ----
+        surf = surf_next
+        alive = alive_next
         beta = jnp.where(surf[:, None], beta * thr, beta)
         prev_pdf = jnp.where(med_scatter, med_pdf, bs["pdf"])
         prev_delta = jnp.where(med_scatter, False, bs["is_delta_sample"])
         diffused = diffused | (surf & ~bs["is_delta_sample"])
-        ro_surf = offset_ray_origin(p_s, face_forward(ns, wo_world))
-        if getattr(cscene, "grid_media", None):
-            ro = jnp.where(med_scatter[:, None], med_ro, ro_surf)
-            rd = jnp.where(med_scatter[:, None], med_rd, wo_world)
-            tmin = jnp.where(med_scatter, 1e-4, 0.0)
-        else:
-            ro = ro_surf
-            rd = wo_world
-            tmin = jnp.zeros((n,), f32)
+        ro, rd, tmin = ro_next, rd_next, tmin_next
 
     L = L_direct + jnp.minimum(L_indirect, CLAMP)
     if return_stats:

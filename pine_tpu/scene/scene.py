@@ -60,13 +60,33 @@ def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
         | (_spread10(q[:, 1]) << 1)
         | (_spread10(q[:, 2]) << 2)
     )
-    octant = (
-        (rd[:, 0] < 0).astype(jnp.int32)
-        + 2 * (rd[:, 1] < 0).astype(jnp.int32)
-        + 4 * (rd[:, 2] < 0).astype(jnp.int32)
-    )
+    import os
+
+    dirbits = int(os.environ.get("PINE_SORT_DIRBITS", "3"))
+    if dirbits <= 3:
+        dbin = (
+            (rd[:, 0] < 0).astype(jnp.int32)
+            + 2 * (rd[:, 1] < 0).astype(jnp.int32)
+            + 4 * (rd[:, 2] < 0).astype(jnp.int32)
+        )
+        dirbits = 3
+    else:
+        # octahedral direction bins (dirbits/2 bits per axis): finer than
+        # the 8 octants, so a block's direction cone — and with it the
+        # union footprint its slab culls see — shrinks
+        k = dirbits // 2
+        s = jnp.abs(rd).sum(axis=1)
+        px, py = rd[:, 0] / s, rd[:, 1] / s
+        neg = rd[:, 2] < 0
+        fx = jnp.where(neg, (1 - jnp.abs(py)) * jnp.sign(px), px)
+        fy = jnp.where(neg, (1 - jnp.abs(px)) * jnp.sign(py), py)
+        hi = (1 << k) - 1
+        qx = jnp.clip(((fx + 1) * 0.5 * (hi + 1)).astype(jnp.int32), 0, hi)
+        qy = jnp.clip(((fy + 1) * 0.5 * (hi + 1)).astype(jnp.int32), 0, hi)
+        dbin = qx | (qy << k)
+        dirbits = 2 * k
     dead = (tmax <= tmin).astype(jnp.int32)
-    key = m | (octant << 15) | (dead << 20)
+    key = m | (dbin << 15) | (dead << (15 + dirbits))
     perm = jnp.argsort(key)
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32)
@@ -403,7 +423,23 @@ class CompiledScene:
         self.world_span = float(max(float(np.max(up_w - lo_w)), 1e-6))
 
     # ---- device-side queries ----------------------------------------------
-    def intersect(self, ro, rd, tmin, tmax, want_closest=True):
+    def sort_perm(self, ro, rd, dead):
+        """Coherence-sort permutation for a wavefront, honoring the auto
+        gates; None when sorting is off.  The integrator shares one perm per
+        bounce between the NEE any-hit and the next depth's intersect (an
+        argsort costs ~2ms at 64k lanes — see _sort_rays_enabled)."""
+        n = ro.shape[0]
+        if not _sort_rays_enabled(n, self.heavy_traversal):
+            return None
+        f32 = jnp.float32
+        return _ray_sort_perm(
+            ro, rd, jnp.zeros((n,), f32),
+            jnp.where(dead, -1.0, 1.0).astype(f32),
+            self.world_lo, self.world_span,
+        )
+
+    def intersect(self, ro, rd, tmin, tmax, want_closest=True,
+                  sort_perm="auto"):
         """Closest hit over all shape types. Returns (t, gidx, hit, mesh_tri)."""
         n = ro.shape[0]
         best_t = jnp.full((n,), BIG, jnp.float32)
@@ -420,10 +456,16 @@ class CompiledScene:
             tmax_f = jnp.broadcast_to(
                 jnp.ravel(tmax) if jnp.ndim(tmax) else tmax, (n,)
             )
-            if _sort_rays_enabled(n, self.heavy_traversal):
-                perm, inv = _ray_sort_perm(
-                    ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+            if sort_perm == "auto":
+                sort_perm = (
+                    _ray_sort_perm(
+                        ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+                    )
+                    if _sort_rays_enabled(n, self.heavy_traversal)
+                    else None
                 )
+            if sort_perm:
+                perm, inv = sort_perm
                 t, ent = packet_intersect(
                     self.unified, ro[perm], rd[perm], tmin_f[perm], tmax_f[perm]
                 )
@@ -462,7 +504,7 @@ class CompiledScene:
         hit = best_t < BIG
         return best_t, best_g, hit, mesh_tri
 
-    def any_hit(self, ro, rd, tmin, tmax):
+    def any_hit(self, ro, rd, tmin, tmax, sort_perm="auto"):
         """Shadow-ray occlusion query; early-exit packet walk over the accel
         (the reference's hit() vs intersect() split, accel.h:13-16)."""
         n = ro.shape[0]
@@ -475,10 +517,16 @@ class CompiledScene:
         if self.unified is not None:
             from pine_tpu.accel.packet import packet_any_hit
 
-            if _sort_rays_enabled(n, self.heavy_traversal):
-                perm, inv = _ray_sort_perm(
-                    ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+            if sort_perm == "auto":
+                sort_perm = (
+                    _ray_sort_perm(
+                        ro, rd, tmin_f, tmax_f, self.world_lo, self.world_span
+                    )
+                    if _sort_rays_enabled(n, self.heavy_traversal)
+                    else None
                 )
+            if sort_perm:
+                perm, inv = sort_perm
                 occ = packet_any_hit(
                     self.unified, ro[perm], rd[perm], tmin_f[perm], tmax_f[perm]
                 )[inv]

@@ -94,13 +94,9 @@ def main():
 
         scene = build_scene()
         configs = [
-            {"PINE_SORT_RAYS": "1", "PINE_MESH_KERNEL": "grid",
-             "PINE_OCTORDER": "1"},
-            {"PINE_SORT_RAYS": "1", "PINE_MESH_KERNEL": "grid",
-             "PINE_OCTORDER": "0"},
-            {"PINE_SORT_RAYS": "0", "PINE_MESH_KERNEL": "grid",
-             "PINE_OCTORDER": "1"},
-            {"PINE_SORT_RAYS": "1", "PINE_MESH_KERNEL": "sctree"},
+            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "6"},
+            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "8"},
+            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "3"},
         ]
         run(scene, scene.camera, "terrain", configs)
 
