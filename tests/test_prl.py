@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -422,3 +423,51 @@ PathIntegrator(UniformSampler(4), 2).render(scene);
     img = np.asarray(jax.device_get(rgb))
     assert np.isfinite(img).all()
     assert img.max() > 0.0  # the sphere is lit
+
+
+REF_SCENES = "/root/reference/scenes"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_SCENES), reason="reference scenes unavailable"
+)
+def test_all_reference_scenes_parse():
+    """Compat contract (SURVEY §5.6): every shipped .pine script parses."""
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(REF_SCENES, "*.pine"))):
+        parse(open(path).read(), path)  # raises PRLSyntaxError on failure
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_SCENES, "pine.pine")),
+    reason="reference scenes unavailable",
+)
+def test_pine_animation_scene_runs(tmp_path):
+    """scenes/pine.pine unchanged except scale: the multi-frame animation
+    loop (scene rebuilt per frame, camera re-set twice, per-frame save with
+    a computed filename, println of the loop variable)."""
+    src = open(os.path.join(REF_SCENES, "pine.pine")).read()
+    patches = [
+        ("image_size = [640, 360];", "image_size = [64, 36];"),
+        ("for f in 0.0~0.2~Pi {", "for f in 0.0~1.1~Pi {"),  # 3 frames
+        ("BlueSampler(4)", "BlueSampler(2)"),
+        ("'images/pine'", f"'{tmp_path}/pine'"),
+    ]
+    for a, b in patches:
+        assert a in src, f"patch target missing from reference scene: {a!r}"
+        src = src.replace(a, b)
+    out = []
+    itp = Interpreter(out=out.append)
+    itp.run(src, "pine.pine")
+    import glob
+
+    frames = sorted(glob.glob(str(tmp_path / "pine*.png")))
+    assert len(frames) == 3, frames
+    assert len(out) == 3  # println(f) once per frame
+    from PIL import Image
+
+    for f in frames:
+        img = np.asarray(Image.open(f))
+        assert img.shape[:2] == (36, 64)
+        assert img.max() > 0  # the cone is lit
