@@ -94,6 +94,19 @@ def render(cs, scene, sampler, spp, t_budget=None):
 
 
 def main():
+    import os as _os
+
+    from pine_tpu.core.device import wait_for_device
+
+    if not wait_for_device(float(_os.environ.get("PINE_DEVICE_TIMEOUT", "900"))):
+        # honest failure record instead of a process hung in backend init
+        print(json.dumps({
+            "metric": "chromatic cloud 1920x1080x256spp throughput",
+            "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
+            "error": "device initialization timed out (TPU tunnel unreachable)",
+        }))
+        _os._exit(2)
+
     import numpy as np
 
     from pine_tpu.core.device import engage_sync_dispatch

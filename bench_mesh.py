@@ -77,6 +77,19 @@ def build_scene():
 
 
 def main():
+    import os as _os
+
+    from pine_tpu.core.device import wait_for_device
+
+    if not wait_for_device(float(_os.environ.get("PINE_DEVICE_TIMEOUT", "900"))):
+        # honest failure record instead of a process hung in backend init
+        print(json.dumps({
+            "metric": "terrain 99458tri 640x640x16spp path-depth4 throughput",
+            "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
+            "error": "device initialization timed out (TPU tunnel unreachable)",
+        }))
+        _os._exit(2)
+
     import jax
     import numpy as np
 

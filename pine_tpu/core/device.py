@@ -71,3 +71,27 @@ def dispatch_overhead_ms(n: int = 5) -> float:
         jax.block_until_ready(f(x))
         walls.append(time.perf_counter() - t0)
     return sorted(walls)[len(walls) // 2] * 1e3
+
+
+def wait_for_device(timeout_s: float = 900.0) -> bool:
+    """Initialize the JAX backend under a watchdog.
+
+    Returns True once ``jax.devices()`` answers; False if initialization
+    hangs past ``timeout_s`` (the relay-tunneled TPU blocks indefinitely in
+    backend init when the tunnel is down — measured 2026-08-17).  Benchmark
+    entry points call this first so an outage produces an honest JSON error
+    record instead of a hung driver process.
+    """
+    import threading
+
+    ok: list = []
+
+    def _init():
+        import jax
+
+        ok.append(len(jax.devices()))
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
