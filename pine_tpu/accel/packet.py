@@ -351,6 +351,15 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                     PT._group_smem_arrays(g)
             else:
                 PT._group_smem_arrays(g)
+            if not PT._grid_hbm(g):
+                from pine_tpu.accel import mxu_sweep
+
+                if mxu_sweep.supports(g["tid"]):
+                    # MXU matmul coefficient tables (PINE_SMALL_KERNEL=
+                    # mxu/mxup), built outside the trace for the same
+                    # capture discipline
+                    mxu_sweep.build_tables(g)
+                    mxu_sweep.build_tiled_tables(g)
 
     pad = LEAF_MAX
     accel = dict(

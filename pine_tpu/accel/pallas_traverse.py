@@ -199,7 +199,9 @@ def _test_disk(fetch, o, d, tmin, tmax):
 
     px, py, pz = fetch(0), fetch(1), fetch(2)
     nx, ny, nz = fetch(3), fetch(4), fetch(5)
-    r = fetch(6)
+    # disk rows are [p(3), n(3), u(3), v(3), r] (shapes.py Disk.params):
+    # the radius lives at 12 (6 is u.x — caught by the mxu parity test)
+    r = fetch(12)
     denom = d[0] * nx + d[1] * ny + d[2] * nz
     denom = jnp.where(denom == 0.0, 1e-12, denom)
     t = ((px - o[0]) * nx + (py - o[1]) * ny + (pz - o[2]) * nz) / denom
@@ -1344,6 +1346,24 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
     """
     import jax.numpy as jnp
 
+    if variant is None:
+        variant = _group_variant(g)
+    if variant in ("mxu", "mxup"):
+        from pine_tpu.accel import mxu_sweep
+
+        if mxu_sweep.supports(g["tid"]) and not _grid_hbm(g):
+            # matmul formulation works on the flat wavefront directly (no
+            # (8,128) packeting); the dot lowers to the MXU.  "mxu" = plain
+            # XLA (pair matrix round-trips HBM); "mxup" = fused Pallas
+            # (matmul + epilogue + reduction stay in VMEM)
+            fn = (
+                mxu_sweep.group_query_fused
+                if variant == "mxup" else mxu_sweep.group_query
+            )
+            return fn(g, ro, rd, tmin, tmax, best_t, best_e, any_hit)
+        n_rows = int(g["rows_np"].shape[0])
+        variant = "dense" if n_rows <= DENSE_DEFAULT_MAX else "grid"
+
     n = ro.shape[0]
     n_pad = ((n + KP - 1) // KP) * KP
     R = n_pad // K_LANE
@@ -1361,9 +1381,6 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         prep(tmin, 0.0), prep(tmax, -1.0),
         prep(best_t, -1.0), prep(best_e, 0),
     )
-    if variant is None:
-        variant = _group_variant(g)
-
     if variant == "sctree":
         tl = _sc_tree_layout(g)
         call = _compiled_sctree_call(
