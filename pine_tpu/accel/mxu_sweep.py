@@ -269,7 +269,13 @@ def _make_fused_kernel(tid, m, C, n_tiles, any_hit):
         lane = jax.lax.broadcasted_iota(jnp.int32, (KP, C_TILE), 1)
         for ct in range(n_tiles):
             strip = w_ref[:, ct * m * C_TILE:(ct + 1) * m * C_TILE]
-            P = jnp.dot(F, strip, preferred_element_type=jnp.float32)
+            # HIGHEST: TPU matmul default rounds inputs to bf16; intersection
+            # coefficients need the full f32 mantissa (t errors would reach
+            # ~1e-2 relative, far outside the parity tolerance)
+            P = jnp.dot(
+                F, strip, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             t = _pair_t(
                 tid, P, m, C_TILE, odr, oor, ddr, tmin, limit
             )
@@ -391,7 +397,13 @@ def group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
         [rd, ro, jnp.ones((n, 1), jnp.float32), jnp.zeros((n, 1), jnp.float32)],
         axis=1,
     )
-    P = jnp.dot(F, tab["W"], preferred_element_type=jnp.float32)  # (n, m*C)
+    import jax
+
+    # (n, m*C); HIGHEST keeps f32 inputs exact on the MXU (default is bf16)
+    P = jnp.dot(
+        F, tab["W"], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     odr = jnp.sum(ro * rd, axis=1, keepdims=True)
     oor = jnp.sum(ro * ro, axis=1, keepdims=True)

@@ -82,11 +82,10 @@ def main():
         itp.run(CBOX_PRL, "<ab:cbox>")
         scene = itp.get_var("scene")
         configs = [
-            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "grid"},
             {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "dense"},
-            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "dense"},
-            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "scdense"},
-            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "grid"},
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "mxu"},
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "mxup"},
+            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "mxup"},
         ]
         run(scene, scene.camera, "cbox", configs)
     else:
