@@ -80,8 +80,13 @@ def build_tables(g) -> dict:
         return g["_mxu"]
     import jax.numpy as jnp
 
-    rows = np.asarray(g["rows_np"], np.float64)  # f64 host precompute
-    tid = g["tid"]
+    W = _build_w(g["tid"], np.asarray(g["rows_np"], np.float64))
+    g["_mxu"] = dict(W=jnp.asarray(W), m=MXU_M[g["tid"]], C=W.shape[1] // MXU_M[g["tid"]])
+    return g["_mxu"]
+
+
+def _build_w(tid, rows):
+    """(8, m*C) coefficient table from f64 host rows (value-major)."""
     C = rows.shape[0]
     z3 = np.zeros((C, 3))
     z1 = np.zeros(C)
@@ -156,16 +161,22 @@ def build_tables(g) -> dict:
     else:
         raise ValueError(f"mxu_sweep does not support tid {tid}")
 
-    g["_mxu"] = dict(W=jnp.asarray(W), m=MXU_M[tid], C=C)
-    return g["_mxu"]
+    return W
 
 
 def _pair_t(tid, P, m, C, odr, oor, ddr, tmin, limit):
     """Per-pair t (n, C) from the matmul result; BIG where miss."""
-    import jax.numpy as jnp
-
     def val(v):
         return P[:, v * C:(v + 1) * C]
+
+    return _pair_t_vals(tid, val, odr, oor, ddr, tmin, limit)
+
+
+def _pair_t_vals(tid, val, odr, oor, ddr, tmin, limit):
+    """Epilogue on pair values fetched through `val(v)`: works for both the
+    lanes-major (n, m*C) layout (val = column slice) and the mesh kernel's
+    prims-major (m*SUPER, 128) layout (val = row-block slice)."""
+    import jax.numpy as jnp
 
     if tid == S.CONE:
         dn, on, pd, op, hp = (val(v) for v in range(5))
@@ -247,6 +258,46 @@ def build_tiled_tables(g) -> dict:
             Wt[:, dst0:dst0 + src.shape[1]] = src
     g["_mxut"] = dict(W=jnp.asarray(Wt), m=m, C=C, n_tiles=n_tiles, C_pad=C_pad)
     return g["_mxut"]
+
+
+def build_mesh_tables(g, e_pad, super_sz) -> dict:
+    """W for mesh-scale (HBM) groups, supercell-major: row block
+    [si*8, si*8+8) holds supercell si's (8, m*super_sz) coefficient strip
+    (value-major within the supercell), so the grid kernel DMAs one strip
+    (or one 16-supercell coarse group of strips) alongside its slab culls
+    and tests all `super_sz` prims with one MXU matmul per live sublane row.
+
+    Rows beyond the real prim count replicate prim 0's coefficients (valid
+    garbage — a NaN/Inf anywhere puts this TPU into a ~1000x slow mode; the
+    kernel masks pad prims by index).  Cached as g['_mxum'].
+    """
+    if "_mxum" in g:
+        return g["_mxum"]
+    import jax.numpy as jnp
+
+    from pine_tpu.accel.pallas_traverse import LEAF_MAX
+
+    rows = np.asarray(g["rows_np"], np.float64)
+    if g["kind"] == "bvh":
+        # drop builder pad rows exactly as _grid_layout does: W prim order
+        # must match the grid kernel's supercell/cell boxes and entity ids
+        rows = rows[: rows.shape[0] - LEAF_MAX]
+    m = MXU_M[g["tid"]]
+    W = _build_w(g["tid"], rows)  # (8, m*C) value-major
+    C = rows.shape[0]
+    n_super = e_pad // super_sz
+    Wp = np.empty((RAY_FEATS, m * e_pad), np.float32)
+    for v in range(m):
+        Wp[:, v * e_pad: v * e_pad + C] = W[:, v * C:(v + 1) * C]
+        Wp[:, v * e_pad + C: (v + 1) * e_pad] = W[:, v * C: v * C + 1]
+    # (8, m, n_super, S) -> (n_super, 8, m, S) -> (n_super*8, m*S)
+    Wm = (
+        Wp.reshape(RAY_FEATS, m, n_super, super_sz)
+        .transpose(2, 0, 1, 3)
+        .reshape(n_super * RAY_FEATS, m * super_sz)
+    )
+    g["_mxum"] = dict(Wm=jnp.asarray(Wm), m=m, C=C)
+    return g["_mxum"]
 
 
 def _make_fused_kernel(tid, m, C, n_tiles, any_hit):

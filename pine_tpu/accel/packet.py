@@ -351,13 +351,18 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                     PT._group_smem_arrays(g)
             else:
                 PT._group_smem_arrays(g)
-            if not PT._grid_hbm(g):
-                from pine_tpu.accel import mxu_sweep
+            from pine_tpu.accel import mxu_sweep
 
-                if mxu_sweep.supports(g["tid"]):
-                    # MXU matmul coefficient tables (PINE_SMALL_KERNEL=
-                    # mxu/mxup), built outside the trace for the same
-                    # capture discipline
+            if mxu_sweep.supports(g["tid"]):
+                # MXU matmul coefficient tables (PINE_SMALL_KERNEL=mxu/mxup,
+                # PINE_MESH_KERNEL=mxu), built outside the trace for the
+                # same capture discipline
+                if PT._grid_hbm(g):
+                    if PT._grid_eligible(g):
+                        mxu_sweep.build_mesh_tables(
+                            g, PT._grid_layout(g)["e_pad"], PT.SUPER
+                        )
+                else:
                     mxu_sweep.build_tables(g)
                     mxu_sweep.build_tiled_tables(g)
 

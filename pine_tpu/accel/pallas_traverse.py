@@ -552,7 +552,7 @@ SUPER = 128     # prims per supercell (8 cells)
 
 
 def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
-                      octorder=False, probe=""):
+                      octorder=False, probe="", mxu_m=0):
     """Supercell-culled transposed dense kernel.
 
     State lives in VMEM scratch and all control flow is @pl.when predication
@@ -576,7 +576,15 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
     one per octant; the block's octant arrives as a per-block scalar).
     Near-first order shrinks best_t early, so later supercells fail their
     slab test and cost ~25 vector ops instead of a full 5k-op tile sweep —
-    the scan equivalent of bvh.cpp's ordered descent."""
+    the scan equivalent of bvh.cpp's ordered descent.
+
+    mxu_m>0 (PINE_MESH_KERNEL=mxu; implies hbm): the `rows` input is the
+    supercell-major MXU coefficient table (mxu_sweep.build_mesh_tables,
+    (n_super*8, m*SUPER)) instead of the prim rows; a taken supercell DMAs
+    its (8, m*SUPER) strip and each live sublane row tests all SUPER prims
+    with one (m*SUPER, 8)x(8, 128) matmul + vectorized epilogue — no scalar
+    fetches at all.  Cell-level culling is subsumed (the matmul tests the
+    whole supercell at once)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -587,6 +595,9 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
     tiles_per_super = SUPER // 8
     cells_per_super = SUPER // CELL32
     tiles_per_cell = CELL32 // 8
+    if mxu_m:
+        assert hbm and not cells, "mxu mode is the hbm mesh path"
+        from pine_tpu.accel import mxu_sweep
 
     coarse_factor = 16
     n_super_pad = ((n_super + coarse_factor - 1) // coarse_factor) * coarse_factor
@@ -602,11 +613,25 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
             rest = rest[3:]
         (rows, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
          bt_out, be_out, bt_s, be_s, *extra) = rest
-        if hbm:
+        if mxu_m:
+            row_buf, dma_sem, f_buf = extra
+        elif hbm:
             row_buf, dma_sem = extra
         else:
             row_buf = rows
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        if mxu_m:
+            # per-row ray feature matrices for the matmuls: f_buf rows
+            # [s*8, s*8+8) = [dx,dy,dz,ox,oy,oz,1,0] of sublane row s's lanes
+            for s in range(K_SUB):
+                for fi, ref in enumerate((dx, dy, dz, ox, oy, oz)):
+                    f_buf[s * 8 + fi: s * 8 + fi + 1, :] = ref[s: s + 1, :]
+                f_buf[s * 8 + 6: s * 8 + 7, :] = jnp.ones(
+                    (1, K_LANE), jnp.float32
+                )
+                f_buf[s * 8 + 7: s * 8 + 8, :] = jnp.zeros(
+                    (1, K_LANE), jnp.float32
+                )
         invx = _safe_inv(dx[:])
         invy = _safe_inv(dy[:])
         invz = _safe_inv(dz[:])
@@ -703,18 +728,81 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
                                     better, eb, be_s[s : s + 1, :]
                                 )
 
+            def test_super_mxu(si, live):
+                """All SUPER prims vs each live sublane row: one matmul +
+                epilogue per row; no per-prim fetches."""
+                if use_coarse:
+                    si_local = si - (si // coarse_factor) * coarse_factor
+                else:
+                    si_local = 0
+                strip = row_buf[pl.ds(si_local * 8, 8), :]  # (8, m*SUPER)
+                pid = si * SUPER + jax.lax.broadcasted_iota(
+                    jnp.int32, (SUPER, K_LANE), 0
+                )
+                pid_ok = pid < n_prims
+                for s in range(K_SUB):
+                    row_any = jnp.any(live[s: s + 1, :])
+
+                    @pl.when(row_any)
+                    def _(s=s):
+                        Fs = f_buf[s * 8: (s + 1) * 8, :]  # (8, 128)
+                        # (m*SUPER, 128) pair values; lhs contracts on its
+                        # leading dim (native MXU weight-stationary form);
+                        # HIGHEST: f32 inputs must not round to bf16
+                        P = jax.lax.dot_general(
+                            strip, Fs, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        o = (ox[s:s + 1, :], oy[s:s + 1, :], oz[s:s + 1, :])
+                        d = (dx[s:s + 1, :], dy[s:s + 1, :], dz[s:s + 1, :])
+                        odr = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
+                        oor = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+                        ddr = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                        row_bt = bt_s[s:s + 1, :]
+                        limit = tmx[s:s + 1, :] if any_hit else row_bt
+
+                        def val(v):
+                            return P[v * SUPER:(v + 1) * SUPER, :]
+
+                        tt = mxu_sweep._pair_t_vals(
+                            tid, val, odr, oor, ddr, tmn[s:s + 1, :], limit
+                        )
+                        tt = jnp.where(pid_ok, tt, BIG)
+                        if any_hit:
+                            be_s[s:s + 1, :] = jnp.maximum(
+                                be_s[s:s + 1, :],
+                                jnp.max((tt < BIG).astype(jnp.int32),
+                                        axis=0, keepdims=True),
+                            )
+                        else:
+                            tb = jnp.min(tt, axis=0, keepdims=True)
+                            eb = jnp.min(
+                                jnp.where(tt == tb, pid, jnp.int32(2 ** 30)),
+                                axis=0, keepdims=True,
+                            )
+                            better = tb < row_bt
+                            bt_s[s:s + 1, :] = jnp.where(better, tb, row_bt)
+                            be_s[s:s + 1, :] = jnp.where(
+                                better, eb, be_s[s:s + 1, :]
+                            )
+
             if probe == "slabs":  # timing probe: culls only, no prim work
                 return 0
 
             @pl.when(sc_hit)
             def _():
                 if hbm and not use_coarse and probe != "nodma":
+                    stride = 8 if mxu_m else SUPER  # W strip vs prim rows
                     cp = pltpu.make_async_copy(
-                        rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
+                        rows.at[pl.ds(si * stride, stride), :], row_buf,
+                        dma_sem,
                     )
                     cp.start()
                     cp.wait()
-                if not cells:
+                if mxu_m:
+                    test_super_mxu(si, row_live)
+                elif not cells:
                     test_tiles(si, row_live, 0, tiles_per_super)
                 else:
                     for k in range(cells_per_super):
@@ -769,11 +857,13 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
                         # per-supercell copies serialized ~100 start/wait
                         # stalls per block (measured via the probe decomp);
                         # batching trades a little spare HBM bandwidth for
-                        # 16x fewer latency hits
+                        # 16x fewer latency hits.  mxu mode copies the W
+                        # strips instead (8 rows per supercell, m*SUPER wide)
+                        stride = 8 if mxu_m else SUPER
                         cp = pltpu.make_async_copy(
                             rows.at[
-                                pl.ds(ci * coarse_factor * SUPER,
-                                      coarse_factor * SUPER), :,
+                                pl.ds(ci * coarse_factor * stride,
+                                      coarse_factor * stride), :,
                             ],
                             row_buf, dma_sem,
                         )
@@ -1158,7 +1248,7 @@ def _grid_layout(g):
 
 @functools.lru_cache(maxsize=256)
 def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
-                        cells=False, octorder=False, probe=""):
+                        cells=False, octorder=False, probe="", mxu_m=0):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1175,12 +1265,21 @@ def _compiled_grid_call(tid, width, n_prims, e_pad, any_hit, n_rows, hbm=False,
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
     kernel = _make_grid_kernel(tid, width, n_prims, any_hit, hbm=hbm,
-                               cells=cells, octorder=octorder, probe=probe)
+                               cells=cells, octorder=octorder, probe=probe,
+                               mxu_m=mxu_m)
     scratch = [
         pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
         pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
     ]
-    if hbm:
+    if mxu_m:
+        n_super = (n_prims + SUPER - 1) // SUPER
+        buf_rows = (16 * 8) if n_super > 16 else 8  # W strips, 8 rows/supercell
+        scratch += [
+            pltpu.VMEM((buf_rows, mxu_m * SUPER), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((K_SUB * 8, K_LANE), jnp.float32),  # f_buf
+        ]
+    elif hbm:
         n_super = (n_prims + SUPER - 1) // SUPER
         buf_rows = (16 * SUPER) if n_super > 16 else SUPER  # coarse-group DMA
         scratch += [
@@ -1348,6 +1447,7 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
 
     if variant is None:
         variant = _group_variant(g)
+    mesh_mxu = False
     if variant in ("mxu", "mxup"):
         from pine_tpu.accel import mxu_sweep
 
@@ -1361,8 +1461,14 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
                 if variant == "mxup" else mxu_sweep.group_query
             )
             return fn(g, ro, rd, tmin, tmax, best_t, best_e, any_hit)
-        n_rows = int(g["rows_np"].shape[0])
-        variant = "dense" if n_rows <= DENSE_DEFAULT_MAX else "grid"
+        if mxu_sweep.supports(g["tid"]) and _grid_eligible(g):
+            # mesh scale (PINE_MESH_KERNEL=mxu): grid kernel with per-taken-
+            # supercell matmul testing
+            mesh_mxu = True
+            variant = "grid"
+        else:
+            n_rows = int(g["rows_np"].shape[0])
+            variant = "dense" if n_rows <= DENSE_DEFAULT_MAX else "grid"
 
     n = ro.shape[0]
     n_pad = ((n + KP - 1) // KP) * KP
@@ -1398,6 +1504,14 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         # cell-level culling needs CELL32 boxes resident in SMEM; cap them
         cells = grid_l["n_prims"] <= GRID_CELLS_MAX_PRIMS
         hbm = _grid_hbm(g)
+        mxum = None
+        if mesh_mxu and hbm:
+            from pine_tpu.accel import mxu_sweep
+
+            # tables are prebuilt at accel-build time (packet.py hook);
+            # this lookup must not create device arrays inside a trace
+            mxum = mxu_sweep.build_mesh_tables(g, grid_l["e_pad"], SUPER)
+            cells = False  # subsumed: the matmul tests the whole supercell
         # near-first octant-ordered scan: mesh-scale groups (which have the
         # coarse level the ordering rides on); PINE_OCTORDER=0 disables
         octorder = (
@@ -1413,7 +1527,9 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
             # "slabs" = culls without prim work; "nodma" = prim work on a
             # stale buffer (no per-supercell DMA serialization)
             probe=os.environ.get("PINE_GRID_PROBE", ""),
+            mxu_m=(mxum["m"] if mxum else 0),
         )
+        table = mxum["Wm"] if mxum else grid_l["table"]
         if octorder:
             # dominant direction octant per (8,128)-ray block, from the
             # block's first lane (the coherence sort makes blocks
@@ -1431,12 +1547,12 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
             out_t, out_e = call(
                 grid_l["coarse_boxes"], grid_l["sc_boxes"],
                 grid_l["cell32_boxes"], grid_l["c_order8"],
-                grid_l["s_order8"], blk_oct, grid_l["table"], *args,
+                grid_l["s_order8"], blk_oct, table, *args,
             )
         else:
             out_t, out_e = call(
                 grid_l["coarse_boxes"], grid_l["sc_boxes"],
-                grid_l["cell32_boxes"], grid_l["table"], *args,
+                grid_l["cell32_boxes"], table, *args,
             )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
     if variant == "scdense":

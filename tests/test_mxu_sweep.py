@@ -117,6 +117,78 @@ def test_any_hit_parity(tid, variant):
     assert (occ_ref == occ_new).mean() > 0.995
 
 
+def _mesh_group(n=9000, seed=7):
+    """Triangle soup big enough for the HBM mesh path (> GRID_MAX_PRIMS)."""
+    from pine_tpu.accel import packet as PK
+    from pine_tpu.accel import pallas_traverse as PT
+
+    rng = np.random.default_rng(seed)
+    prims = []
+    for _ in range(n):
+        p = rng.uniform(-2, 2, 3)
+        shp = S.Triangle(
+            p, p + 0.4 * rng.normal(size=3), p + 0.4 * rng.normal(size=3)
+        )
+        prims.append((S.TRIANGLE, shp.params(), 0, shp.get_aabb()))
+    accel = PK.build_packet_accel(prims, [])
+    (g,) = accel["groups"]
+    assert PT._grid_hbm(g), "test needs the HBM mesh path"
+    return g
+
+
+def test_mesh_mxu_closest_parity():
+    """PINE_MESH_KERNEL=mxu grid kernel vs the VPU grid kernel (HBM scale)."""
+    import jax.numpy as jnp
+
+    from pine_tpu.accel import pallas_traverse as PT
+
+    g = _mesh_group()
+    ro, rd, tmin, tmax = _rays(n=1024, seed=21)
+    n = ro.shape[0]
+    bt0 = jnp.full(n, 1e30, jnp.float32)
+    be0 = jnp.zeros(n, jnp.int32)
+
+    t_ref, e_ref = PT.pallas_group_query(
+        g, ro, rd, tmin, tmax, bt0, be0, variant="grid"
+    )
+    t_new, e_new = PT.pallas_group_query(
+        g, ro, rd, tmin, tmax, bt0, be0, variant="mxu"
+    )
+    t_ref, t_new = np.asarray(t_ref), np.asarray(t_new)
+    hit_ref, hit_new = t_ref < 1e29, t_new < 1e29
+    assert hit_ref.sum() > 200, "scene must actually be hit"
+    agree = hit_ref == hit_new
+    assert agree.mean() > 0.995, f"hit sets differ: {(~agree).sum()}/{n}"
+    both = hit_ref & hit_new
+    np.testing.assert_allclose(t_ref[both], t_new[both], rtol=3e-4, atol=3e-5)
+    e_ref, e_new = np.asarray(e_ref), np.asarray(e_new)
+    assert ((e_ref == e_new) | ~both).mean() > 0.99
+
+
+def test_mesh_mxu_any_hit_parity():
+    import jax.numpy as jnp
+
+    from pine_tpu.accel import pallas_traverse as PT
+
+    g = _mesh_group(seed=9)
+    ro, rd, tmin, _ = _rays(n=1024, seed=22)
+    n = ro.shape[0]
+    rng = np.random.default_rng(23)
+    tmax = jnp.asarray(rng.uniform(0.5, 6.0, n).astype(np.float32))
+    bt0 = jnp.full(n, 1e30, jnp.float32)
+    occ0 = jnp.zeros(n, jnp.int32)
+
+    _, occ_ref = PT.pallas_group_query(
+        g, ro, rd, tmin, tmax, bt0, occ0, any_hit=True, variant="grid"
+    )
+    _, occ_new = PT.pallas_group_query(
+        g, ro, rd, tmin, tmax, bt0, occ0, any_hit=True, variant="mxu"
+    )
+    occ_ref, occ_new = np.asarray(occ_ref), np.asarray(occ_new)
+    assert 0 < occ_ref.sum() < n, "need a mix of occluded/clear"
+    assert (occ_ref == occ_new).mean() > 0.995
+
+
 def test_render_smoke_under_mxu(monkeypatch):
     """cbox-style mini render with PINE_SMALL_KERNEL=mxu matches dense."""
     monkeypatch.setenv("PINE_TPU_PALLAS", "1")
