@@ -93,9 +93,9 @@ def main():
 
         scene = build_scene()
         configs = [
-            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "6"},
-            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "8"},
-            {"PINE_SORT_RAYS": "1", "PINE_SORT_DIRBITS": "3"},
+            {"PINE_SORT_RAYS": "1", "PINE_MESH_KERNEL": "grid"},
+            {"PINE_SORT_RAYS": "1", "PINE_MESH_KERNEL": "mxu"},
+            {"PINE_SORT_RAYS": "0", "PINE_MESH_KERNEL": "mxu"},
         ]
         run(scene, scene.camera, "terrain", configs)
 
