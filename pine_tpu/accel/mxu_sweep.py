@@ -306,55 +306,64 @@ def _make_fused_kernel(tid, m, C, n_tiles, any_hit):
     running per-lane best collapses to a final cross-lane min/argmin."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
     def kernel(w_ref, f_ref, sc_ref, bt_out, be_out):
-        F = f_ref[:]  # (KP, 8)
-        # per-ray scalar columns: [odr, oor, ddr, tmin, limit, best_t, best_e]
-        odr = sc_ref[:, 0:1]
-        oor = sc_ref[:, 1:2]
-        ddr = sc_ref[:, 2:3]
+        # passthrough first: all-dead blocks (limit <= tmin on every lane —
+        # dead lanes carry -1, and the coherence sort packs them together)
+        # skip the whole sweep via @pl.when
         tmin = sc_ref[:, 3:4]
         limit = sc_ref[:, 4:5]
-        bt_run = jnp.full((KP, C_TILE), BIG, jnp.float32)
-        be_run = jnp.full((KP, C_TILE), INT_BIG, jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (KP, C_TILE), 1)
-        for ct in range(n_tiles):
-            strip = w_ref[:, ct * m * C_TILE:(ct + 1) * m * C_TILE]
-            # HIGHEST: TPU matmul default rounds inputs to bf16; intersection
-            # coefficients need the full f32 mantissa (t errors would reach
-            # ~1e-2 relative, far outside the parity tolerance)
-            P = jnp.dot(
-                F, strip, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            t = _pair_t(
-                tid, P, m, C_TILE, odr, oor, ddr, tmin, limit
-            )
-            # pad prims (zero columns) produce garbage t: mask them
-            if (ct + 1) * C_TILE > C:
-                t = jnp.where(lane < C - ct * C_TILE, t, BIG)
-            better = t < bt_run
-            bt_run = jnp.where(better, t, bt_run)
-            be_run = jnp.where(better, ct * C_TILE + lane, be_run)
-        if any_hit:
-            occ = jnp.max(
-                jnp.where(bt_run < BIG, 1, 0), axis=1, keepdims=True
-            )
-            bt_out[:] = sc_ref[:, 5:6]
-            be_out[:] = jnp.maximum(
-                sc_ref[:, 6:7].astype(jnp.int32), occ
-            )
-        else:
-            t_min = jnp.min(bt_run, axis=1, keepdims=True)
-            e_min = jnp.min(
-                jnp.where(bt_run <= t_min, be_run, INT_BIG),
-                axis=1, keepdims=True,
-            )
-            bt_in = sc_ref[:, 5:6]
-            be_in = sc_ref[:, 6:7].astype(jnp.int32)
-            win = t_min < bt_in
-            bt_out[:] = jnp.where(win, t_min, bt_in)
-            be_out[:] = jnp.where(win, e_min, be_in)
+        bt_out[:] = sc_ref[:, 5:6]
+        be_out[:] = sc_ref[:, 6:7].astype(jnp.int32)
+
+        @pl.when(jnp.any(limit > tmin))
+        def _():
+            F = f_ref[:]  # (KP, 8)
+            # per-ray scalars: [odr, oor, ddr, tmin, limit, best_t, best_e]
+            odr = sc_ref[:, 0:1]
+            oor = sc_ref[:, 1:2]
+            ddr = sc_ref[:, 2:3]
+            bt_run = jnp.full((KP, C_TILE), BIG, jnp.float32)
+            be_run = jnp.full((KP, C_TILE), INT_BIG, jnp.int32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (KP, C_TILE), 1)
+            for ct in range(n_tiles):
+                strip = w_ref[:, ct * m * C_TILE:(ct + 1) * m * C_TILE]
+                # HIGHEST: TPU matmul default rounds inputs to bf16;
+                # intersection coefficients need the full f32 mantissa
+                # (t errors would reach ~1e-2 relative, far outside the
+                # parity tolerance)
+                P = jnp.dot(
+                    F, strip, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                t = _pair_t(
+                    tid, P, m, C_TILE, odr, oor, ddr, tmin, limit
+                )
+                # pad prims (zero columns) produce garbage t: mask them
+                if (ct + 1) * C_TILE > C:
+                    t = jnp.where(lane < C - ct * C_TILE, t, BIG)
+                better = t < bt_run
+                bt_run = jnp.where(better, t, bt_run)
+                be_run = jnp.where(better, ct * C_TILE + lane, be_run)
+            if any_hit:
+                occ = jnp.max(
+                    jnp.where(bt_run < BIG, 1, 0), axis=1, keepdims=True
+                )
+                be_out[:] = jnp.maximum(
+                    sc_ref[:, 6:7].astype(jnp.int32), occ
+                )
+            else:
+                t_min = jnp.min(bt_run, axis=1, keepdims=True)
+                e_min = jnp.min(
+                    jnp.where(bt_run <= t_min, be_run, INT_BIG),
+                    axis=1, keepdims=True,
+                )
+                bt_in = sc_ref[:, 5:6]
+                be_in = sc_ref[:, 6:7].astype(jnp.int32)
+                win = t_min < bt_in
+                bt_out[:] = jnp.where(win, t_min, bt_in)
+                be_out[:] = jnp.where(win, e_min, be_in)
 
     return kernel
 

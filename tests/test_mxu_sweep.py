@@ -117,6 +117,32 @@ def test_any_hit_parity(tid, variant):
     assert (occ_ref == occ_new).mean() > 0.995
 
 
+def test_fused_dead_block_passthrough():
+    """All-dead lanes (limit <= tmin, the renderer's -1 convention) must pass
+    best_t/best_e through untouched — the fused kernel skips such blocks."""
+    import jax.numpy as jnp
+
+    from pine_tpu.accel import pallas_traverse as PT
+
+    g = _group_for(S.SPHERE)
+    ro, rd, tmin, _ = _rays(n=256)
+    n = ro.shape[0]
+    dead_tmax = jnp.full(n, -1.0, jnp.float32)
+    bt0 = jnp.full(n, -1.0, jnp.float32)  # dead closest-hit convention
+    be0 = jnp.arange(n, dtype=jnp.int32)
+
+    t, e = PT.pallas_group_query(
+        g, ro, rd, tmin, dead_tmax, bt0, be0, variant="mxup"
+    )
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(bt0))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(be0))
+
+    _, occ = PT.pallas_group_query(
+        g, ro, rd, tmin, dead_tmax, bt0, be0, any_hit=True, variant="mxup"
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(be0))
+
+
 def _mesh_group(n=9000, seed=7):
     """Triangle soup big enough for the HBM mesh path (> GRID_MAX_PRIMS)."""
     from pine_tpu.accel import packet as PK
