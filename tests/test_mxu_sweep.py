@@ -117,6 +117,36 @@ def test_any_hit_parity(tid, variant):
     assert (occ_ref == occ_new).mean() > 0.995
 
 
+def test_unsupported_type_falls_back():
+    """Slab-tested types (AABB) have no matmul form; the mxu/mxup knobs must
+    fall back to the dense kernel with identical results."""
+    import jax.numpy as jnp
+
+    from pine_tpu.accel import packet as PK
+    from pine_tpu.accel import pallas_traverse as PT
+
+    rng = np.random.default_rng(4)
+    prims = []
+    for _ in range(20):
+        lo = rng.uniform(-2, 2, 3)
+        shp = S.BoxAABB(lo, lo + rng.uniform(0.2, 1.0, 3))
+        prims.append((S.BOX_AABB, shp.params(), 0, shp.get_aabb()))
+    accel = PK.build_packet_accel(prims, [])
+    (g,) = accel["groups"]
+    ro, rd, tmin, tmax = _rays(n=256, seed=31)
+    bt0 = jnp.full(256, 1e30, jnp.float32)
+    be0 = jnp.zeros(256, jnp.int32)
+
+    t_ref, _ = PT.pallas_group_query(
+        g, ro, rd, tmin, tmax, bt0, be0, variant="dense"
+    )
+    for v in ("mxu", "mxup"):
+        t_new, _ = PT.pallas_group_query(
+            g, ro, rd, tmin, tmax, bt0, be0, variant=v
+        )
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_new))
+
+
 def test_fused_dead_block_passthrough():
     """All-dead lanes (limit <= tmin, the renderer's -1 convention) must pass
     best_t/best_e through untouched — the fused kernel skips such blocks."""
