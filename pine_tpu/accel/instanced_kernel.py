@@ -51,12 +51,18 @@ STACK_DEPTH = 96  # top tree + pending instances + mesh subtree
 INST_KERNEL_MAX = 16384
 
 
-def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
+def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
     """hbm=True: prim table stays in HBM, taken supercells DMA into scratch.
     hbm=False (mesh fits VMEM, like the dense path's grid kernel): the whole
     table rides VMEM and tiles load directly — no per-supercell DMA latency,
     the dominant cost on small instanced meshes (~143 supercell visits per
-    ray block on the 1024-rock field)."""
+    ray block on the 1024-rock field).
+
+    mxu_m>0 (PINE_INST_KERNEL=mxu): the `rows` input is the shared mesh's
+    supercell-major MXU coefficient table (mxu_sweep.build_mesh_tables);
+    each taken supercell is tested per live sublane row with one
+    (m*128, 8)^T x (8, 128) matmul over the instance's LOCAL rays — the
+    local-ray feature matrices are rebuilt on every instance entry."""
     import os
 
     import jax
@@ -68,6 +74,9 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
 
     tiles_per_cell = CELL32 // 8
     cells_per_super = SUPER // CELL32
+    if mxu_m:
+        from pine_tpu.accel import mxu_sweep
+        from pine_tpu.scene import shapes as _S
 
     def kernel(tboxes, tcnode, tcstart, tccount, iboxes, minv,
                mboxes, mcnode, mcstart, mccount, msc_order, mcell_boxes,
@@ -76,7 +85,12 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
                bt_out, be_out,
                bt_s, be_s, lox, loy, loz, ldx, ldy, ldz,
                livx, livy, livz, *extra):
-        if hbm:
+        if mxu_m and hbm:
+            row_buf, dma_sem, f_buf, stack, spq, cur = extra
+        elif mxu_m:
+            f_buf, stack, spq, cur = extra
+            row_buf = rows
+        elif hbm:
             row_buf, dma_sem, stack, spq, cur = extra
         else:
             stack, spq, cur = extra
@@ -132,6 +146,9 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
                 _do_super_body(si, o3, iv3)
 
         def _do_super_body(si, o3, iv3):
+            if mxu_m:
+                _do_super_body_mxu(si)
+                return
             if hbm:
                 cp = pltpu.make_async_copy(
                     rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
@@ -182,6 +199,69 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
                                 be_s[s:s + 1, :] = jnp.where(
                                     better, eb, be_s[s:s + 1, :]
                                 )
+
+        def _do_super_body_mxu(si):
+            """Matmul leaf tests over the instance's local rays (f_buf)."""
+            if hbm:
+                cp = pltpu.make_async_copy(
+                    rows.at[pl.ds(si * 8, 8), :], row_buf, dma_sem
+                )
+                cp.start()
+                cp.wait()
+                strip = row_buf[:, :]
+            else:
+                strip = row_buf[pl.ds(si * 8, 8), :]  # (8, m*SUPER)
+            pid = si * SUPER + jax.lax.broadcasted_iota(
+                jnp.int32, (SUPER, K_LANE), 0
+            )
+            pid_ok = pid < n_prims
+            ent_base = vbase + cur[0] * stride
+            for s in range(K_SUB):
+                @pl.when(jnp.any(
+                    (tmx[s:s + 1, :] if any_hit else bt_s[s:s + 1, :])
+                    > tmn[s:s + 1, :]
+                ))
+                def _(s=s):
+                    Fs = f_buf[s * 8: (s + 1) * 8, :]  # (8, 128) local rays
+                    P = jax.lax.dot_general(
+                        strip, Fs, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    o = (lox[s:s + 1, :], loy[s:s + 1, :], loz[s:s + 1, :])
+                    d = (ldx[s:s + 1, :], ldy[s:s + 1, :], ldz[s:s + 1, :])
+                    odr = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
+                    oor = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+                    ddr = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    row_bt = bt_s[s:s + 1, :]
+                    limit = tmx[s:s + 1, :] if any_hit else row_bt
+
+                    def val(v):
+                        return P[v * SUPER:(v + 1) * SUPER, :]
+
+                    tt = mxu_sweep._pair_t_vals(
+                        _S.TRIANGLE, val, odr, oor, ddr, tmn[s:s + 1, :],
+                        limit,
+                    )
+                    tt = jnp.where(pid_ok, tt, BIG)
+                    if any_hit:
+                        be_s[s:s + 1, :] = jnp.maximum(
+                            be_s[s:s + 1, :],
+                            jnp.max((tt < BIG).astype(jnp.int32),
+                                    axis=0, keepdims=True),
+                        )
+                    else:
+                        tb = jnp.min(tt, axis=0, keepdims=True)
+                        eb = jnp.min(
+                            jnp.where(tt == tb, ent_base + pid,
+                                      jnp.int32(2 ** 30)),
+                            axis=0, keepdims=True,
+                        )
+                        better = tb < row_bt
+                        bt_s[s:s + 1, :] = jnp.where(better, tb, row_bt)
+                        be_s[s:s + 1, :] = jnp.where(
+                            better, eb, be_s[s:s + 1, :]
+                        )
 
         def push(sp2, pred, entry):
             """Predicated bounded push; parked writes go to the sentinel
@@ -284,6 +364,23 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
                 livx[:] = _safe_inv(ldx[:])
                 livy[:] = _safe_inv(ldy[:])
                 livz[:] = _safe_inv(ldz[:])
+                if mxu_m:
+                    # per-row matmul feature matrices from the LOCAL rays;
+                    # rebuilt on every instance entry (the mesh subtree pops
+                    # before the next instance, so f_buf stays consistent)
+                    for s in range(K_SUB):
+                        for fi, ref in enumerate(
+                            (ldx, ldy, ldz, lox, loy, loz)
+                        ):
+                            f_buf[s * 8 + fi: s * 8 + fi + 1, :] = (
+                                ref[s: s + 1, :]
+                            )
+                        f_buf[s * 8 + 6: s * 8 + 7, :] = jnp.ones(
+                            (1, K_LANE), jnp.float32
+                        )
+                        f_buf[s * 8 + 7: s * 8 + 8, :] = jnp.zeros(
+                            (1, K_LANE), jnp.float32
+                        )
                 cur[0] = j
                 stack[sp1] = 2  # mesh root: node 0, kind 2
                 spq[0] = sp1 + 1
@@ -346,7 +443,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows):
+def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows,
+                        mxu_m=0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -361,11 +459,18 @@ def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows):
     )
     if hbm:
         table_spec = pl.BlockSpec(memory_space=pl.ANY)
+    elif mxu_m:
+        # whole supercell-major W table rides VMEM
+        table_spec = pl.BlockSpec(
+            (e_pad // SUPER * 8, mxu_m * SUPER), lambda i, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
     else:
         table_spec = pl.BlockSpec(
             (e_pad, K_LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         )
-    kernel = _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm)
+    kernel = _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm,
+                               mxu_m=mxu_m)
     vec32 = pltpu.VMEM((K_SUB, K_LANE), jnp.float32)
     scratch = [
         vec32,                                    # bt_s
@@ -375,10 +480,19 @@ def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows):
         vec32, vec32, vec32,                      # livx livy livz
     ]
     if hbm:
-        scratch += [
-            pltpu.VMEM((SUPER, K_LANE), jnp.float32),  # row_buf
-            pltpu.SemaphoreType.DMA(()),
-        ]
+        scratch += (
+            [
+                pltpu.VMEM((8, mxu_m * SUPER), jnp.float32),  # W strip
+                pltpu.SemaphoreType.DMA(()),
+            ]
+            if mxu_m
+            else [
+                pltpu.VMEM((SUPER, K_LANE), jnp.float32),  # row_buf
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        )
+    if mxu_m:
+        scratch += [pltpu.VMEM((K_SUB * 8, K_LANE), jnp.float32)]  # f_buf
     scratch += [
         pltpu.SMEM((STACK_DEPTH,), jnp.int32),    # stack
         pltpu.SMEM((1,), jnp.int32),              # spq
@@ -455,9 +569,17 @@ def kernel_supports(g):
 
 
 def _query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit):
+    import os
+
     import jax.numpy as jnp
 
     lay = inst_layout(g)
+    mxum = None
+    if os.environ.get("PINE_INST_KERNEL", "vpu") == "mxu":
+        from pine_tpu.accel import mxu_sweep
+
+        # tables are prebuilt at accel-build time (packet.py hook)
+        mxum = mxu_sweep.build_mesh_tables(g["mesh"], lay["e_pad"], SUPER)
     n = ro.shape[0]
     n_pad = ((n + K_SUB * K_LANE - 1) // (K_SUB * K_LANE)) * (K_SUB * K_LANE)
     R = n_pad // K_LANE
@@ -475,14 +597,15 @@ def _query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit):
         prep(best_t, -1.0), prep(best_e, 0),
     )
     call = _compiled_inst_call(
-        lay["n_prims"], lay["e_pad"], g["stride"], g["vbase"], any_hit, R
+        lay["n_prims"], lay["e_pad"], g["stride"], g["vbase"], any_hit, R,
+        mxu_m=(mxum["m"] if mxum else 0),
     )
     out_t, out_e = call(
         lay["tboxes"], lay["tcnode"], lay["tcstart"], lay["tccount"],
         lay["iboxes"], lay["minv"],
         lay["mboxes"], lay["mcnode"], lay["mcstart"], lay["mccount"],
         lay["msc_order"], lay["mcell_boxes"], lay["msc_boxes"],
-        lay["table"], *args,
+        mxum["Wm"] if mxum else lay["table"], *args,
     )
     return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
 

@@ -336,7 +336,12 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
             from pine_tpu.accel import instanced_kernel as IK
 
             if IK.kernel_supports(g):
-                IK.inst_layout(g)  # builds the mesh sctree layout too
+                lay = IK.inst_layout(g)  # builds the mesh sctree layout too
+                from pine_tpu.accel import mxu_sweep
+
+                # MXU coefficient table for PINE_INST_KERNEL=mxu (outside
+                # the trace — capture discipline)
+                mxu_sweep.build_mesh_tables(g["mesh"], lay["e_pad"], PT.SUPER)
             continue
         if g["tid"] in PT.PRIM_TESTS:
             if PT._grid_eligible(g):

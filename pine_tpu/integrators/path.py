@@ -234,6 +234,7 @@ def render_wavefront(
         # must not reuse a program traced under the old one
         _os.environ.get("PINE_SMALL_KERNEL", ""),
         _os.environ.get("PINE_MESH_KERNEL", "grid"),
+        _os.environ.get("PINE_INST_KERNEL", "vpu"),
         _os.environ.get("PINE_SORT_RAYS", "auto"),
         _os.environ.get("PINE_OCTORDER", "1"),
         _os.environ.get("PINE_SORT_DIRBITS", "3"),

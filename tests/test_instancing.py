@@ -196,3 +196,27 @@ def test_instanced_fast_path_interpret_parity(monkeypatch):
     )
     assert np.array_equal(np.asarray(g_ref), np.asarray(g_f))
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ_f))
+
+
+def test_instanced_mxu_kernel_parity(monkeypatch):
+    """PINE_INST_KERNEL=mxu (matmul leaf tests over local rays) must agree
+    with the XLA packet walk like the VPU kernel does."""
+    import jax.numpy as jnp
+
+    cs = _build(lazy=True, nx=2, nz=2)
+    ro, rd = _camera_rays(64)
+    tmin = jnp.zeros((64,))
+    tmax = jnp.full((64,), 1e30)
+    t_ref, g_ref, hit_ref, _ = cs.intersect(ro, rd, tmin, tmax)
+    occ_ref = cs.any_hit(ro, rd, tmin, jnp.full((64,), 8.0))
+    monkeypatch.setenv("PINE_TPU_PALLAS", "1")
+    monkeypatch.setenv("PINE_INST_KERNEL", "mxu")
+    t_f, g_f, hit_f, _ = cs.intersect(ro, rd, tmin, tmax)
+    occ_f = cs.any_hit(ro, rd, tmin, jnp.full((64,), 8.0))
+    assert np.array_equal(np.asarray(hit_ref), np.asarray(hit_f))
+    m = np.asarray(hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[m], np.asarray(t_f)[m], rtol=3e-4, atol=3e-4
+    )
+    assert np.array_equal(np.asarray(g_ref), np.asarray(g_f))
+    assert np.array_equal(np.asarray(occ_ref), np.asarray(occ_f))
