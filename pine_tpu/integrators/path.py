@@ -326,15 +326,25 @@ def render_wavefront(
         progress_mod.set_progress(frac)
         if progress is not None:
             progress(frac)
-    flat = jnp.concatenate(chunks, axis=0)[:n]
+    # one jitted program for the final assembly: eager concat + gather +
+    # reshape (+ ray-count sum) would each cost a ~30 ms dispatch in the
+    # backend's sync mode
     inv_perm = jnp.asarray(np.argsort(perm), jnp.int32)
-    img = flat[inv_perm].reshape(H, W, 3)
+    img, total = _assemble_image(tuple(chunks), tuple(ray_counts), inv_perm,
+                                 n, H, W)
     if return_stats:
-        total = ray_counts[0]
-        for r in ray_counts[1:]:
-            total = total + r
         return img, {"traced_rays": total}
     return img
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _assemble_image(chunks, ray_counts, inv_perm, n, H, W):
+    flat = jnp.concatenate(chunks, axis=0)[:n]
+    img = flat[inv_perm].reshape(H, W, 3)
+    total = ray_counts[0]
+    for r in ray_counts[1:]:
+        total = total + r
+    return img, total
 
 
 def sample_one_light(cscene, p_s, u_sel, u_light, ctx):
