@@ -15,10 +15,20 @@ sampling.  Iterations follow the reference's spp-doubling IterativeScheme
 with inverse-variance frame blending and outlier-rejected variance
 (guidedpath.cpp:21-117); all accumulation stays on device.
 
-Deviations (documented): fixed-resolution grid/histogram instead of adaptive
-trees; the reference's non-compensated Russian roulette on low-pdf guided
-samples (guidedpath.cpp:141-143) IS applied at depth > 1 exactly as the
-reference does — uncompensated, so the estimator shares the reference's
+Structures (PINE_GUIDE_STRUCT): "tree" (default) is the reference's adaptive
+spatial octree of directional quadtrees in flat-arena form
+(pine_tpu/integrators/guiding_tree.py, spatial_tree.h:30-355) — spatial
+leaves split at n_samples > spatial_ratio*sqrt(iter_spp*n_pixels)
+(guidedpath.cpp:113), quadtrees subdivide >1%-flux quadrants, training adds
+flux along the quadtree descent path at a footprint-jittered position, and
+each iteration samples from the previous iteration's frozen snapshot.
+"grid" keeps the round-2 fixed spatial grid + DxD histogram.
+
+Deviations (documented): a DEFENSIVE uniform-sphere mixture (12.5%) guards
+both structures against undertrained distributions (the reference relies
+only on RR); the reference's non-compensated Russian roulette on low-pdf
+guided samples (guidedpath.cpp:141-143) IS applied at depth > 1 exactly as
+the reference does — uncompensated, so the estimator shares the reference's
 slight bias in exchange for killing noisy-histogram fireflies; in-medium
 guiding is not traced.
 """
@@ -131,6 +141,61 @@ class DirectionalGuide:
         return (1.0 - DEFENSIVE) * hist_pdf + DEFENSIVE / (4 * Pi)
 
 
+class TreeGuide:
+    """Device-side adapter over the adaptive arenas (guiding_tree.py); the
+    arrays themselves travel through jit as arguments in `gstate`."""
+
+    def __init__(self, gt):
+        from pine_tpu.integrators import guiding_tree as gtree
+
+        self._m = gtree
+        self.lo = jnp.asarray(gt.lo)
+        self.inv_diag = jnp.asarray(gt.inv_diag)
+        self.foot0 = float(gt.footprint0)
+        self.clamp_lo = jnp.asarray(gt.tight_lo)
+        self.clamp_hi = jnp.asarray(gt.tight_hi)
+
+    def lookup(self, gstate, p):
+        """-> (dtree root, spatial leaf, footprint) per lane."""
+        return self._m.stree_lookup(
+            gstate["schild"], gstate["sdroot"], self.lo, self.inv_diag,
+            jnp.float32(self.foot0), p,
+        )
+
+    def lookup_train(self, gstate, p, foot, u3):
+        """Footprint-jittered training lookup (spatial_tree.h add_sample)."""
+        pj = jnp.clip(p + foot[:, None] * (u3 - 0.5), self.clamp_lo, self.clamp_hi)
+        return self.lookup(gstate, pj)
+
+    def sample(self, gstate, droot, u2, u_def):
+        sq, _, tree_valid = self._m.dtree_sample(
+            gstate["dchild"], gstate["dflux"], droot, u2
+        )
+        wo_tree = square_to_dir(sq)
+        uniform_dir = square_to_dir(u2)
+        use_uniform = u_def < DEFENSIVE
+        wo = jnp.where(use_uniform[:, None], uniform_dir, wo_tree)
+        pdf = self.pdf(gstate, droot, wo)
+        valid = jnp.where(use_uniform, True, tree_valid) & (pdf > 0.0)
+        return wo, pdf, valid
+
+    def pdf(self, gstate, droot, w):
+        pdf_sq = self._m.dtree_pdf(
+            gstate["dchild"], gstate["dflux"], droot, dir_to_square(w)
+        )
+        return (1.0 - DEFENSIVE) * pdf_sq / (4 * Pi) + DEFENSIVE / (4 * Pi)
+
+    def add(self, gstate, droot, leaf, sq, flux, mask):
+        gstate = dict(gstate)
+        gstate["dcoll"] = self._m.dtree_add(
+            gstate["dcoll"], gstate["dchild"], droot, sq, flux, mask
+        )
+        gstate["scount"] = gstate["scount"].at[leaf].add(
+            jnp.where(mask, 1.0, 0.0)
+        )
+        return gstate
+
+
 class GuidedPathIntegrator:
     """PRL: GuidedPathIntegrator(sampler, max_path_length)
     (program_context.cpp:95-100)."""
@@ -178,32 +243,44 @@ def iterative_scheme(spp, batch_size=1):
 
 def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
                   max_axis_resolution=32):
+    import os
+
     from pine_tpu.core.capture import bind, collect_device_arrays
 
     lo, hi = cscene.scene.get_aabb()
-    grid = SpatialGrid(lo, hi, max_axis_resolution)
-    guide = DirectionalGuide(grid)
     n = W * H
+    struct = os.environ.get("PINE_GUIDE_STRUCT", "tree")
+    if struct == "tree":
+        from pine_tpu.integrators.guiding_tree import GuidingTree
+
+        # guidedpath.cpp:72-75: initial_samples = n_pixels, spatial_k = 4000
+        gt = GuidingTree(lo, hi, n_initial_samples=n, spatial_k=4000)
+        guide = TreeGuide(gt)
+        spatial_ratio = max(4000.0 / float(np.sqrt(n)), 1.0)
+        grid = None
+    else:
+        gt = None
+        grid = SpatialGrid(lo, hi, max_axis_resolution)
+        guide = DirectionalGuide(grid)
     cam_params = cam.params()
     arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
     ys_np, xs_np = np.divmod(np.arange(n, dtype=np.int64), W)
     xs = jnp.asarray(xs_np, jnp.int32)
     ys = jnp.asarray(ys_np, jnp.int32)
-    n_cells = grid.n_cells()
 
-    def one_iteration(xs, ys, vals, hist, sample0, iter_spp, prob_a, train):
+    def one_iteration(xs, ys, vals, gstate, sample0, iter_spp, prob_a, train):
         with bind(setters, vals):
             def body(i, carry):
-                acc, acc2, hist = carry
-                L, new_hist = _trace_guided(
+                acc, acc2, gstate = carry
+                L, gstate = _trace_guided(
                     cscene, cam_params, xs, ys, W, H, sampler, sample0 + i,
-                    max_depth, grid, guide, hist, prob_a, train,
+                    max_depth, grid, guide, gstate, prob_a, train,
                 )
-                return acc + L, acc2 + L * L, new_hist
+                return acc + L, acc2 + L * L, gstate
 
-            acc, acc2, hist = jax.lax.fori_loop(
+            acc, acc2, gstate = jax.lax.fori_loop(
                 0, iter_spp, body,
-                (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32), hist),
+                (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32), gstate),
             )
             inv = 1.0 / iter_spp
             I = acc * inv
@@ -213,22 +290,33 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
             v_sorted = jnp.sort(v)
             keep = int(n * (1.0 - 1e-5))
             var_mean = jnp.mean(v_sorted[:keep])
-            return I, var_mean, hist
+            return I, var_mean, gstate
 
     # sample0 is traced (dynamic) so iterations reuse compiles; only distinct
     # (iter_spp, prob_a, train) combos trigger recompilation
     jit_iter = jax.jit(one_iteration, static_argnames=("iter_spp", "prob_a", "train"))
 
-    hist = jnp.zeros((n_cells, DIR_RES * DIR_RES), jnp.float32)
+    if gt is not None:
+        gstate = gt.device_state()
+    else:
+        gstate = {
+            "hist": jnp.zeros((grid.n_cells(), DIR_RES * DIR_RES), jnp.float32)
+        }
     acc_I = jnp.zeros((n, 3), jnp.float32)
     acc_w = jnp.zeros((), jnp.float32)
     for it in iterative_scheme(spp):
         prob_a = 0.5 if it["number"] > 0 else 0.0
-        I, var_mean, hist = jit_iter(
-            xs, ys, arrays, hist,
+        I, var_mean, gstate = jit_iter(
+            xs, ys, arrays, gstate,
             jnp.int32(it["sample_index"]), iter_spp=it["spp"], prob_a=prob_a,
             train=not it["is_final"],
         )
+        if gt is not None and not it["is_final"]:
+            # one readback per iteration (ordinary in sync-dispatch mode),
+            # then host-side refinement and a fresh arena export
+            gt.absorb(np.asarray(gstate["dcoll"]), np.asarray(gstate["scount"]))
+            gt.refine(spatial_ratio * float(np.sqrt(it["spp"] * n)))
+            gstate = gt.device_state()
         # Deviation from guidedpath.cpp:105-110: iterations blend by sample
         # count, not inverse variance.  With the small early iterations the
         # per-iteration variance estimate correlates with its realized value
@@ -241,7 +329,8 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
 
 
 def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
-                  max_depth, grid, guide, hist, prob_a, train):
+                  max_depth, grid, guide, gstate, prob_a, train):
+    tree_mode = isinstance(guide, TreeGuide)
     n = xs.shape[0]
     f32 = jnp.float32
     jitter = sampler.u2(xs, ys, sample_index, 0)
@@ -258,8 +347,10 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
     rec_nee = [jnp.zeros((n, 3), f32)] * depths
     rec_bsemis = [jnp.zeros((n, 3), f32)] * depths
     rec_thr = [jnp.zeros((n, 3), f32)] * depths
-    rec_cell = [jnp.zeros((n,), jnp.int32)] * depths
+    rec_cell = [jnp.zeros((n,), jnp.int32)] * depths  # grid cell | dtree root
     rec_bin = [jnp.zeros((n,), jnp.int32)] * depths
+    rec_leaf = [jnp.zeros((n,), jnp.int32)] * depths  # spatial leaf (tree)
+    rec_sq = [jnp.zeros((n, 2), jnp.float32)] * depths  # dir square (tree)
     rec_w = [jnp.zeros((n,), f32)] * depths
     rec_valid = [jnp.zeros((n,), bool)] * depths
     L0 = jnp.zeros((n, 3), f32)
@@ -346,12 +437,16 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         rec_bsemis[depth] = jnp.where((alive & bs["valid"])[:, None], bsemis, 0.0)
 
         # ---- one-sample-MIS continuation: guided vs BSDF ------------------
-        cell = grid.cell_of(p_s)
-        hist_rows = hist[cell]
         u_pick = sampler.u1(xs, ys, sample_index, dim + 10)
         u_guide = sampler.u2(xs, ys, sample_index, dim + 11)
         u_def = sampler.u1(xs, ys, sample_index, dim + 13)
-        g_wo, g_pdf, g_valid = guide.sample(hist_rows, u_guide, u_def)
+        if tree_mode:
+            droot, _, foot = guide.lookup(gstate, p_s)
+            g_wo, g_pdf, g_valid = guide.sample(gstate, droot, u_guide, u_def)
+        else:
+            cell = grid.cell_of(p_s)
+            hist_rows = gstate["hist"][cell]
+            g_wo, g_pdf, g_valid = guide.sample(hist_rows, u_guide, u_def)
         # the reference's uncompensated Russian roulette on low-pdf guided
         # samples (guidedpath.cpp:141-143): rr = max(pdf, 0.05) for vertices
         # past length 1; slightly biased by construction but kills the
@@ -384,7 +479,10 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         wo_local = to_local(ns, wo_world)
         f_g, pdf_b_at = bxdf_mod.f_and_pdf(state, wi, wo_local)
         cosine = jnp.abs(dot(wo_world, ns))
-        guide_pdf_at = guide.pdf(hist_rows, wo_world)
+        if tree_mode:
+            guide_pdf_at = guide.pdf(gstate, droot, wo_world)
+        else:
+            guide_pdf_at = guide.pdf(hist_rows, wo_world)
 
         # guided branch weight: f*cos/g_pdf * mis / pa
         mis_g = balance_heuristic(pa * g_pdf, (1 - pa) * pdf_b_at)
@@ -406,8 +504,19 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
                             w_b / jnp.maximum(cosine, 1e-6))
 
         rec_thr[depth] = jnp.where(cont_valid[:, None], thr, 0.0)
-        rec_cell[depth] = cell
-        rec_bin[depth] = dir_bin(wo_world)
+        if tree_mode:
+            # training flux lands at a footprint-jittered position
+            # (spatial_tree.h:331-336 add_sample)
+            u_jit2 = sampler.u2(xs, ys, sample_index, dim + 20)
+            u_jit1 = sampler.u1(xs, ys, sample_index, dim + 22)
+            u3 = jnp.concatenate([u_jit2, u_jit1[:, None]], axis=1)
+            troot, tleaf, _ = guide.lookup_train(gstate, p_s, foot, u3)
+            rec_cell[depth] = troot
+            rec_leaf[depth] = tleaf
+            rec_sq[depth] = dir_to_square(wo_world)
+        else:
+            rec_cell[depth] = cell
+            rec_bin[depth] = dir_bin(wo_world)
         rec_w[depth] = jnp.where(
             cont_valid & ~(bxdf_delta & ~use_guide), w_train, 0.0
         )
@@ -421,19 +530,27 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
 
     # ---- reverse sweep: per-vertex incident radiance + training flux ------
     Li_next = jnp.zeros((n, 3), f32)  # radiance arriving along continuation
-    new_hist = hist
+    gstate = dict(gstate)
     for d in range(depths - 1, -1, -1):
         # Li along the continuation from vertex d = lo_{d+1}
         lo_next = Li_next
         # flux sample: avg(Li_{d+1}) * w  (guidedpath.cpp:238,251)
         if train:
             flux = jnp.mean(lo_next, axis=1) * rec_w[d]
-            m = rec_valid[d] & (flux > 0.0)
-            flat = rec_cell[d] * (DIR_RES * DIR_RES) + rec_bin[d]
-            new_hist = new_hist.reshape(-1).at[flat].add(
-                jnp.where(m, flux, 0.0)
-            ).reshape(new_hist.shape)
+            if tree_mode:
+                # count every recorded sample (spatial_tree.h:335 n_samples);
+                # zero flux adds nothing to the quadtree by construction
+                m = rec_valid[d] & (rec_w[d] > 0.0)
+                gstate = guide.add(
+                    gstate, rec_cell[d], rec_leaf[d], rec_sq[d], flux, m
+                )
+            else:
+                m = rec_valid[d] & (flux > 0.0)
+                flat = rec_cell[d] * (DIR_RES * DIR_RES) + rec_bin[d]
+                gstate["hist"] = gstate["hist"].reshape(-1).at[flat].add(
+                    jnp.where(m, flux, 0.0)
+                ).reshape(gstate["hist"].shape)
         lo_d = rec_nee[d] + rec_bsemis[d] + rec_thr[d] * lo_next
         Li_next = lo_d
     L = L0 + jnp.where(rec_valid[0][:, None], Li_next, 0.0) if depths > 0 else L0
-    return L, new_hist
+    return L, gstate

@@ -106,6 +106,7 @@ class GuidingTree:
         diag = np.maximum(hi - lo, 1e-6)
         self.lo = lo - 1e-4
         self.inv_diag = (1.0 / (diag + 2e-4)).astype(np.float32)
+        self.tight_lo, self.tight_hi = lo, hi  # add_sample jitter clamp
         # root footprint = smallest AABB extent (spatial_tree.h:325)
         self.footprint0 = float(diag.min())
         self.spatial_k = int(spatial_k)
