@@ -106,6 +106,11 @@ class PathIntegrator:
             film.save(os.path.join(options.progressive_dir, "latest.png"))
             if live:
                 flush_deferred_saves()
+                from pine_tpu.io.term_preview import preview_enabled, print_frame
+
+                if preview_enabled(live):
+                    print(f"[progressive] {done}/{spp} spp")
+                    print_frame(film.finalized())
         return film
 
 

@@ -2,8 +2,10 @@
 interactive OpenGL path tracer (impl/integrator/path_opengl.cpp:11-127,
 camera controls :104-117).
 
-There is no GL window on a headless TPU host, so the split is: the terminal
-takes the keys, the browser shows the frames.  Each keypress moves the
+There is no GL window on a headless TPU host, so the terminal takes the keys
+and shows an inline ANSI half-block thumbnail of every frame
+(io/term_preview.py; PINE_TERM_PREVIEW=0 disables), with full-resolution
+frames in the browser.  Each keypress moves the
 camera and re-dispatches the SAME compiled wavefront program at low spp —
 camera position/rotation are jit arguments (integrators/path.py cam
 rebinding), so a camera move costs one dispatch, not a recompile.  Frames
@@ -109,6 +111,7 @@ def run_loop(integrator, scene, cscene):
     from pine_tpu.core import options
     from pine_tpu.core.film import flush_deferred_saves
     from pine_tpu.integrators.path import _VIEWER_HTML, render_wavefront
+    from pine_tpu.io.term_preview import preview_enabled, print_frame
 
     cam = scene.camera
     film = cam.film
@@ -135,6 +138,8 @@ def run_loop(integrator, scene, cscene):
         if live:
             film.save(os.path.join(out_dir, "latest.png"))
             flush_deferred_saves()
+            if preview_enabled(live):
+                print_frame(film.finalized())
         return dt
 
     dt = frame()
