@@ -325,7 +325,12 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
         w = jnp.float32(it["spp"]) + 0.0 * var_mean
         acc_I = (acc_I * acc_w + I * w) / jnp.maximum(acc_w + w, 1e-20)
         acc_w = acc_w + w
+    global _LAST_TREE
+    _LAST_TREE = gt  # test introspection: the trained adaptive structure
     return acc_I.reshape(H, W, 3)
+
+
+_LAST_TREE = None  # set by render_guided in tree mode (None in grid mode)
 
 
 def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,

@@ -305,3 +305,81 @@ def test_micro_render_microbuffer_resolution(tame):
     # buffer quantizes visibility differently -> a real, nonzero delta
     assert 0.0 < rmse < 0.25, rmse
     assert abs(hi.mean() - lo.mean()) / max(hi.mean(), 1e-6) < 0.25
+
+
+def alcove_scene(res=24):
+    """Indirect-dominant room: the only light sits in an alcove behind a
+    holed wall, so NEE from most of the room is occluded and continuation
+    rays must aim at the opening — the transport Practical Path Guiding
+    exists for (spatial_tree.h:30-355)."""
+    sc = Scene()
+    sc.add("w", M.Diffuse([0.75, 0.75, 0.75]))
+    sc.add(S.Rect([0, 0, 1], [2, 0, 0], [0, 0, 2]), "w")            # floor
+    sc.add(S.Rect([0, 2, 1], [2, 0, 0], [0, 0, 2]), "w")            # ceiling
+    sc.add(S.Rect([-1, 1, 1], [0, 0, 2], [0, 2, 0]), M.Diffuse([0.8, 0.2, 0.2]))
+    sc.add(S.Rect([1, 1, 1], [0, 0, 2], [0, 2, 0]), M.Diffuse([0.2, 0.8, 0.2]))
+    # front wall z=2 with a hole x in [-0.25,0.25], y in [0.75,1.25]
+    sc.add(S.Rect([-0.625, 1, 2], [0.75, 0, 0], [0, 2, 0]), "w")
+    sc.add(S.Rect([0.625, 1, 2], [0.75, 0, 0], [0, 2, 0]), "w")
+    sc.add(S.Rect([0, 1.625, 2], [0.25, 0, 0], [0, 0.75, 0]), "w")
+    sc.add(S.Rect([0, 0.375, 2], [0.25, 0, 0], [0, 0.75, 0]), "w")
+    # alcove z in [2, 2.6] with the emitter on its back wall, facing -z
+    sc.add(S.Rect([0, 0.9, 2.3], [0.4, 0, 0], [0, 0, 0.3]), "w")
+    sc.add(S.Rect([0, 1.3, 2.3], [0.4, 0, 0], [0, 0, 0.3]), "w")
+    sc.add(S.Rect([-0.4, 1.1, 2.3], [0, 0, 0.3], [0, 0.4, 0]), "w")
+    sc.add(S.Rect([0.4, 1.1, 2.3], [0, 0, 0.3], [0, 0.4, 0]), "w")
+    sc.add(S.Rect([0, 1.0, 2.59], [0, 0.3, 0], [0.3, 0, 0]),
+           M.Emissive([60.0, 55.0, 45.0]))
+    sc.set(ThinLenCamera(Film([res, res], "uncharted2"),
+                         [0, 1, -1.8], [0, 1, 0], 0.45))
+    return sc
+
+
+def test_guided_tree_learns_transport(monkeypatch):
+    """End-to-end adaptive-guiding gate: after render_guided trains on the
+    alcove scene, the floor leaf's quadtree must concentrate probability on
+    directions toward the wall opening and starve the downward hemisphere.
+
+    spatial_k shrinks from the reference's 4000 (guidedpath.cpp:73, tuned
+    for production film sizes) so the test-sized film still separates floor
+    from ceiling leaves; everything else runs the shipping path."""
+    import jax.numpy as jnp
+
+    from pine_tpu.integrators import guidedpath as G
+    from pine_tpu.integrators import guiding_tree as T
+
+    orig = T.GuidingTree
+
+    class SmallK(orig):
+        def __init__(self, lo, hi, n_initial_samples, spatial_k=4000):
+            super().__init__(lo, hi, n_initial_samples, spatial_k=400)
+
+    monkeypatch.setattr(T, "GuidingTree", SmallK)
+    monkeypatch.setenv("PINE_GUIDE_STRUCT", "tree")
+    res, spp = 24, 24
+    scene = alcove_scene(res)
+    cscene = scene.compile()
+    img = np.asarray(
+        G.render_guided(cscene, scene.camera, res, res, BlueSampler(spp), spp, 4, 16)
+    )
+    assert np.isfinite(img).all() and img.mean() > 0.05
+    gt = G._LAST_TREE
+    assert gt is not None and gt.n_spatial_leaves() >= 8
+    st = gt.device_state()
+    p = jnp.asarray([[0.0, 0.02, 1.2]], jnp.float32)  # floor, front of hole
+    droot, _, _ = T.stree_lookup(
+        st["schild"], st["sdroot"], jnp.asarray(gt.lo), jnp.asarray(gt.inv_diag),
+        jnp.float32(gt.footprint0), p,
+    )
+    hole = np.asarray([0.0, 1.0, 2.0]) - np.asarray([0.0, 0.02, 1.2])
+    hole /= np.linalg.norm(hole)
+
+    def sq_pdf(w):  # pdf over the unit square: 1.0 == uniform sphere
+        sq = G.dir_to_square(jnp.asarray([w], jnp.float32))
+        return float(T.dtree_pdf(st["dchild"], st["dflux"], droot, sq)[0])
+
+    p_hole = sq_pdf(hole)
+    p_down = sq_pdf([0.0, -1.0, 0.0])
+    # measured 1.96 vs 6e-4 on this scene; wide margins for sampler changes
+    assert p_hole > 1.2, (p_hole, p_down)
+    assert p_down < 0.3, (p_hole, p_down)
