@@ -44,7 +44,9 @@ from pine_tpu.accel.pallas_traverse import (
     _test_triangle,
 )
 
-STACK_DEPTH = 96  # top tree + pending instances + mesh subtree
+STACK_DEPTH = 192  # top tree + pending instances + mesh subtree; the push
+# is bounded (overflow would silently drop subtrees), so kernel_supports
+# refuses any scene whose exact worst case (_stack_need) exceeds this
 
 # SMEM budget cap: ~100 B/instance (12 minv + 6 aabb + ~9 tree floats);
 # 16384 instances ~ 1.6 MB, on par with the 2M-prim sctree assumption
@@ -444,7 +446,9 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
 
 @functools.lru_cache(maxsize=64)
 def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows,
-                        mxu_m=0):
+                        mxu_m=0, probe=""):
+    # `probe` (PINE_INST_PROBE) is baked into the kernel by _make_inst_kernel;
+    # it must key this cache or probe A/Bs re-time the first-compiled variant
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -555,6 +559,19 @@ def inst_layout(g):
     return g["_ik"]
 
 
+def _stack_need(g):
+    """Exact worst-case stack occupancy for this scene's trees.
+
+    A top-tree descent of depth d_top parks at most one deferred sibling
+    plus 2*TREE_LEAF culled instance entries per level; the instance pop
+    adds a mesh-subtree descent (one deferred sibling per mesh level)."""
+    from pine_tpu.accel.pallas_traverse import _tree_depth
+
+    d_top = _tree_depth(np.asarray(g["inst_np"]["ic_node"], np.int32))
+    d_mesh = _sc_tree_layout(g["mesh"])["depth"]
+    return d_top * (1 + 2 * TREE_LEAF) + d_mesh + 4
+
+
 def kernel_supports(g):
     from pine_tpu.accel.pallas_traverse import _grid_eligible
     from pine_tpu.scene import shapes as S
@@ -565,6 +582,7 @@ def kernel_supports(g):
         and "inst_np" in g
         and g["n_inst"] <= INST_KERNEL_MAX
         and _grid_eligible(g["mesh"])
+        and _stack_need(g) <= STACK_DEPTH
     )
 
 
@@ -599,6 +617,7 @@ def _query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit):
     call = _compiled_inst_call(
         lay["n_prims"], lay["e_pad"], g["stride"], g["vbase"], any_hit, R,
         mxu_m=(mxum["m"] if mxum else 0),
+        probe=os.environ.get("PINE_INST_PROBE", ""),
     )
     out_t, out_e = call(
         lay["tboxes"], lay["tcnode"], lay["tcstart"], lay["tccount"],

@@ -1145,8 +1145,22 @@ def _sc_tree_layout(g):
         table=grid_l["table"],
         n_prims=E,
         width=grid_l["width"],
+        depth=_tree_depth(np.asarray(c_node, np.int32)),
     )
     return g["_sctree"]
+
+
+def _tree_depth(cnode2):
+    """Max root->leaf depth of a (M,2) child-index tree (<0 = leaf); host
+    numpy.  Consumers size bounded traversal stacks from this."""
+    cnode2 = cnode2.reshape(-1, 2)
+    depth, frontier = 0, [0]
+    while frontier:
+        depth += 1
+        frontier = [
+            int(c) for n in frontier for c in cnode2[n] if c >= 0
+        ]
+    return depth
 
 
 def _grid_layout(g):

@@ -34,15 +34,12 @@ USAGE = """usage: pine <file.pine> [--platform P] [--progressive N] [--progressi
 def _select_platform(name: str) -> None:
     """Force the backend via jax.config (env vars are too late: the
     container's sitecustomize pins JAX_PLATFORMS before user code runs)."""
-    import os
-
     import jax
 
     if name == "cpu":
         jax.config.update("jax_platforms", "cpu")
     elif name == "tpu":
-        pinned = os.environ.get("JAX_PLATFORMS", "")
-        jax.config.update("jax_platforms", pinned or "tpu")
+        jax.config.update("jax_platforms", "tpu")
     else:
         raise SystemExit(f"error: --platform must be cpu or tpu, got {name!r}")
 

@@ -143,17 +143,20 @@ class DirectionalGuide:
 
 class TreeGuide:
     """Device-side adapter over the adaptive arenas (guiding_tree.py); the
-    arrays themselves travel through jit as arguments in `gstate`."""
+    arrays themselves travel through jit as arguments in `gstate`.  Bounds
+    stay as NUMPY constants (embedded at trace time like SpatialGrid's) — a
+    pre-committed device array captured in the traced program would poison
+    this TPU's dispatch path (see core/capture.py)."""
 
     def __init__(self, gt):
         from pine_tpu.integrators import guiding_tree as gtree
 
         self._m = gtree
-        self.lo = jnp.asarray(gt.lo)
-        self.inv_diag = jnp.asarray(gt.inv_diag)
+        self.lo = np.asarray(gt.lo, np.float32)
+        self.inv_diag = np.asarray(gt.inv_diag, np.float32)
         self.foot0 = float(gt.footprint0)
-        self.clamp_lo = jnp.asarray(gt.tight_lo)
-        self.clamp_hi = jnp.asarray(gt.tight_hi)
+        self.clamp_lo = np.asarray(gt.tight_lo, np.float32)
+        self.clamp_hi = np.asarray(gt.tight_hi, np.float32)
 
     def lookup(self, gstate, p):
         """-> (dtree root, spatial leaf, footprint) per lane."""

@@ -111,6 +111,12 @@ class PathIntegrator:
                 if preview_enabled(live):
                     print(f"[progressive] {done}/{spp} spp")
                     print_frame(film.finalized())
+        if options.interactive:
+            # --progressive + --interactive compose: fly-cam starts from the
+            # fully accumulated frame
+            from pine_tpu.interactive import run_loop
+
+            run_loop(self, scene, cscene)
         return film
 
 
@@ -243,6 +249,8 @@ def render_wavefront(
         _os.environ.get("PINE_SORT_RAYS", "auto"),
         _os.environ.get("PINE_OCTORDER", "1"),
         _os.environ.get("PINE_SORT_DIRBITS", "3"),
+        _os.environ.get("PINE_INST_DENSE", ""),
+        _os.environ.get("PINE_INST_PROBE", ""),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays
 

@@ -159,8 +159,6 @@ def run_loop(integrator, scene, cscene):
             spp = max(1, spp // 2)
         elif ch == "]":
             spp = min(256, spp * 2)
-        elif ch == "q":
-            break
         elif not fly.apply_key(ch):
             continue
         fly.write_back()

@@ -494,14 +494,27 @@ def _run_sequential(interp, node, env, cond_node, body, inc_node,
 # entry points (hooked from interp.exec_elem)
 # ---------------------------------------------------------------------------
 
+def _mark_nocompile(node):
+    """Remember a structural (value-independent) bail so repeated executions
+    of the same For statement skip the AST scans (the While tier's flag)."""
+    entry = _CACHE.setdefault(id(node), {"node": node})
+    if entry.get("node") is node:
+        entry["nocompile"] = True
+
+
 def maybe_run_compiled_for(interp, node, env):
     """Try to compile-and-run an A.For.  True = done; False = run eagerly."""
     if _ACTIVE[0] or _disabled():
         return False
+    entry = _CACHE.get(id(node))
+    if entry is not None and entry.get("node") is node and entry.get("nocompile"):
+        return False
     info = _affine(node)
     if info is None:
+        _mark_nocompile(node)
         return False
     loopvar, begin_e, end_e, step_e, strict = info
+    structural = True  # _Bail before any value-dependent check => cacheable
     try:
         seen = set()
         bound_nodes = [begin_e, end_e] + ([step_e] if step_e is not None else [])
@@ -513,6 +526,7 @@ def maybe_run_compiled_for(interp, node, env):
             _referenced(e, refs)
         if refs & mut:
             raise _Bail("loop bound depends on loop state")
+        structural = False
         begin = _concrete_int(interp.eval(begin_e, env))
         end = _concrete_int(interp.eval(end_e, env))
         step = 1 if step_e is None else _concrete_int(interp.eval(step_e, env))
@@ -521,7 +535,9 @@ def maybe_run_compiled_for(interp, node, env):
         trip = _trip_count(begin, end, step, strict)
         if trip < MIN_TRIP:
             return False
+        structural = True
         _scan_pure(interp, env, node.body, seen)
+        structural = False
         reds, carries = _classify(env, node.body, loopvar)
         exclude = mut | {nm for nm, _ in reds} | {nm for nm, _ in carries}
         _ACTIVE[0] = True
@@ -543,6 +559,8 @@ def maybe_run_compiled_for(interp, node, env):
             _ACTIVE[0] = False
         return True
     except _Bail as b:
+        if structural:
+            _mark_nocompile(node)
         _debug(f"for@{node.sl}: {b}")
         return False
     except Exception as e:  # discarded trace of a pure body: safe to retry eagerly

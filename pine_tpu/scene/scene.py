@@ -74,7 +74,9 @@ def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
         # octahedral direction bins (dirbits/2 bits per axis): finer than
         # the 8 octants, so a block's direction cone — and with it the
         # union footprint its slab culls see — shrinks
-        k = dirbits // 2
+        # k capped at 7: the key packs 15 morton + 2k direction + 1 dead bit
+        # into int32, so 15 + 2k + 1 must stay below the sign bit
+        k = min(dirbits // 2, 7)
         s = jnp.abs(rd).sum(axis=1)
         px, py = rd[:, 0] / s, rd[:, 1] / s
         neg = rd[:, 2] < 0
