@@ -220,3 +220,22 @@ def test_instanced_mxu_kernel_parity(monkeypatch):
     )
     assert np.array_equal(np.asarray(g_ref), np.asarray(g_f))
     assert np.array_equal(np.asarray(occ_ref), np.asarray(occ_f))
+
+
+def test_stack_need_gates_kernel(monkeypatch):
+    """kernel_supports must refuse scenes whose worst-case traversal stack
+    exceeds STACK_DEPTH (the kernel's bounded push would otherwise silently
+    drop subtrees on overflow)."""
+    from pine_tpu.accel import instanced_kernel as IK
+
+    cs = _build(lazy=True, nx=6, nz=6)
+    g = next(
+        g for g in cs.unified["inst_groups"] if g.get("kind") == "instanced"
+    )
+    need = IK._stack_need(g)
+    # exact bound: top depth * (1 deferred sibling + 2*TREE_LEAF instance
+    # entries) + mesh depth + margin; must fit with lots of headroom here
+    assert 0 < need <= IK.STACK_DEPTH, need
+    assert IK.kernel_supports(g)
+    monkeypatch.setattr(IK, "STACK_DEPTH", need - 1)
+    assert not IK.kernel_supports(g)
