@@ -104,6 +104,13 @@ def render_cached(cscene, cam, W, H, sampler, spp, max_depth,
                   max_axis_resolution=128, starting_depth=1):
     from pine_tpu.core.capture import bind, collect_device_arrays
 
+    if getattr(cscene, "grid_media", None):
+        from pine_tpu.core.log import WARNING
+
+        WARNING(
+            "CachedPathIntegrator ignores grid (VDB) media (homogeneous "
+            "media are handled); use PathIntegrator for volumetric grids."
+        )
     lo, hi = cscene.scene.get_aabb()
     grid = SpatialGrid(lo, hi, max_axis_resolution)
     n = W * H
@@ -126,11 +133,15 @@ def render_cached(cscene, cam, W, H, sampler, spp, max_depth,
                 recs = _trace_recorded(
                     cscene, cam_params, xs, ys, W, H, sampler, i, max_depth, grid
                 )
-                # reverse sweep: lo_v = nee_v + thr_v * (emit_{v+1} + lo_{v+1})
+                # reverse sweep: lo_v = nee_v + thr_v * arriving_{v+1} where
+                # arriving through a segment = its in-scatter + transmittance
+                # times (emissive/env on the segment + the far vertex's lo)
                 lo_next = jnp.zeros((xs.shape[0], 3), jnp.float32)
                 for d in range(max_depth - 2, -1, -1):
                     lo_v = recs["nee"][d] + recs["thr"][d] * (
-                        recs["emit"][d + 1] + lo_next
+                        recs["seg_sc"][d + 1] + recs["seg_tr"][d + 1] * (
+                            recs["emit"][d + 1] + lo_next
+                        )
                     )
                     m = recs["valid"][d]
                     flux = flux.at[recs["cell"][d]].add(
@@ -193,6 +204,9 @@ def _trace_recorded(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         emit=[jnp.zeros((n, 3), f32)] * max_depth,
         cell=[jnp.zeros((n,), jnp.int32)] * max_depth,
         valid=[jnp.zeros((n,), bool)] * max_depth,
+        # homogeneous-media terms of the segment into vertex d
+        seg_tr=[jnp.ones((n, 3), f32)] * max_depth,
+        seg_sc=[jnp.zeros((n, 3), f32)] * max_depth,
     )
 
     for depth in range(max_depth):
@@ -202,6 +216,18 @@ def _trace_recorded(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
+        if cscene.media:
+            # the per-depth 16-dim budget is full, so medium draws live in
+            # a region past every per-depth dim (media-free scenes draw
+            # nothing there: goldens unchanged)
+            mdim = 4 + max_depth * 16 + depth * 5
+            recs["seg_tr"][depth], recs["seg_sc"][depth] = (
+                path_mod.segment_medium_terms(
+                    cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
+                    xs, ys, sampler, sample_index, mdim - 10,
+                    scatter_mask=alive & ~diffused,
+                )
+            )
 
         # emissive/env arriving along this segment (no beta: handled by sweep)
         emit = jnp.zeros((n, 3), f32)
@@ -292,6 +318,17 @@ def _trace_with_cache(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
+        if cscene.media:
+            # in-scatter uses beta at segment start; everything arriving
+            # through the segment (env/emissive/vertex) sees seg_tr
+            mdim = 4 + max_depth * 16 + depth * 5
+            seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
+                cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
+                xs, ys, sampler, sample_index, mdim - 10,
+                scatter_mask=alive & ~diffused,
+            )
+            L = L + beta * seg_sc_d
+            beta = beta * seg_tr_d
 
         if cscene.env_light is not None:
             le_env = cscene.env_light.color(rd)

@@ -29,8 +29,19 @@ both structures against undertrained distributions (the reference relies
 only on RR); the reference's non-compensated Russian roulette on low-pdf
 guided samples (guidedpath.cpp:141-143) IS applied at depth > 1 exactly as
 the reference does — uncompensated, so the estimator shares the reference's
-slight bias in exchange for killing noisy-histogram fireflies; in-medium
-guiding is not traced.
+slight bias in exchange for killing noisy-histogram fireflies.
+
+Media: homogeneous media are fully handled — every segment (continuation,
+dedicated BSDF ray, camera ray, shadow rays via nee_contribution) applies
+analytic transmittance and segments add equiangular single-scatter NEE
+(path_mod.segment_medium_terms); the training flux sees both, like the
+reference's recursive radiance().  In-medium GUIDED vertices
+(guidedpath.cpp:126-165 samples the leaf distribution at medium scatter
+points) are not traced — medium in-scatter here is NEE-only.  Grid (VDB)
+media are NOT supported by this integrator (their extinction rides
+delta-tracked vertices, which the record-and-reverse-sweep structure does
+not trace): render_guided logs a warning and ignores them — use
+PathIntegrator for VDB scenes.
 """
 from __future__ import annotations
 
@@ -250,6 +261,15 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
 
     from pine_tpu.core.capture import bind, collect_device_arrays
 
+    if getattr(cscene, "grid_media", None):
+        from pine_tpu.core.log import WARNING
+
+        WARNING(
+            "GuidedPathIntegrator ignores grid (VDB) media — their "
+            "extinction needs delta-tracked vertices this tracer does not "
+            "record; homogeneous media are handled. Use PathIntegrator "
+            "for volumetric grids."
+        )
     lo, hi = cscene.scene.get_aabb()
     n = W * H
     struct = os.environ.get("PINE_GUIDE_STRUCT", "tree")
@@ -361,6 +381,11 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
     rec_sq = [jnp.zeros((n, 2), jnp.float32)] * depths  # dir square (tree)
     rec_w = [jnp.zeros((n,), f32)] * depths
     rec_valid = [jnp.zeros((n,), bool)] * depths
+    # homogeneous-media terms of the segment INTO vertex d (d=0: camera ray):
+    # transmittance + equiangular in-segment scatter (guidedpath.cpp:126-165
+    # handles medium vertices; see the module deviation note)
+    seg_tr = [jnp.ones((n, 3), f32)] * depths
+    seg_sc = [jnp.zeros((n, 3), f32)] * depths
     L0 = jnp.zeros((n, 3), f32)
 
     for depth in range(depths):
@@ -370,12 +395,20 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
+        if cscene.media:
+            seg_tr[depth], seg_sc[depth] = path_mod.segment_medium_terms(
+                cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
+                xs, ys, sampler, sample_index, dim + 4,
+                scatter_mask=alive & ~diffused,
+            )
 
-        # env/emissive only on the camera ray (guidedpath.cpp:168-176)
+        # env/emissive only on the camera ray (guidedpath.cpp:168-176),
+        # attenuated through media (Lo += Tr * ..., guidedpath.cpp:167-176)
         if depth == 0:
             if cscene.env_light is not None:
                 L0 = L0 + jnp.where(
-                    (alive & ~hitm)[:, None], cscene.env_light.color(rd), 0.0
+                    (alive & ~hitm)[:, None],
+                    cscene.env_light.color(rd) * seg_tr[0], 0.0,
                 )
         hp = ro + t_hit[:, None] * rd
         p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
@@ -384,7 +417,7 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         emis = cscene.is_emissive_lane(gidx) & hitm
         if depth == 0 and cscene.emissive_globals:
             le = cscene.emissive_le(gidx, ctx, wi_world)
-            L0 = L0 + jnp.where(emis[:, None], le, 0.0)
+            L0 = L0 + jnp.where(emis[:, None], le * seg_tr[0], 0.0)
 
         alive = hitm & ~emis
 
@@ -420,6 +453,14 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         bt_hit = jnp.where(bhit, bt, 1.0)
         bsemis = jnp.zeros((n, 3), f32)
+        # the dedicated ray's segment attenuates through homogeneous media
+        # like every other segment (transmittance(), integrator.cpp:75-81)
+        b_tr = (
+            cscene.transmittance(
+                bs_o, bs_wo, jnp.where(bhit, bt, 1e8), grid=False
+            )
+            if cscene.media else jnp.ones((n, 3), f32)
+        )
         if cscene.emissive_globals:
             bhp = bs_o + bt_hit[:, None] * bs_wo
             bp, bn, buv = cscene.surface_info(bgidx, bhp, bmesh)
@@ -430,7 +471,8 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
             bmis = jnp.where(bxdf_delta, 1.0, balance_heuristic(bs["pdf"], blpdf))
             bsemis = bsemis + jnp.where(
                 b_emis[:, None],
-                ble * (bs_cos * bmis / jnp.maximum(bs["pdf"], 1e-20))[:, None] * bs["f"],
+                ble * b_tr
+                * (bs_cos * bmis / jnp.maximum(bs["pdf"], 1e-20))[:, None] * bs["f"],
                 0.0,
             )
         if cscene.env_light is not None:
@@ -438,7 +480,7 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
             emis_env = jnp.where(bxdf_delta, 1.0, balance_heuristic(bs["pdf"], epdf))
             bsemis = bsemis + jnp.where(
                 (~bhit)[:, None],
-                cscene.env_light.color(bs_wo)
+                cscene.env_light.color(bs_wo) * b_tr
                 * (bs_cos * emis_env / jnp.maximum(bs["pdf"], 1e-20))[:, None] * bs["f"],
                 0.0,
             )
@@ -537,11 +579,16 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         tmin = jnp.zeros((n,), f32)
 
     # ---- reverse sweep: per-vertex incident radiance + training flux ------
-    Li_next = jnp.zeros((n, 3), f32)  # radiance arriving along continuation
+    Li_next = jnp.zeros((n, 3), f32)  # radiance leaving vertex d+1
     gstate = dict(gstate)
     for d in range(depths - 1, -1, -1):
-        # Li along the continuation from vertex d = lo_{d+1}
-        lo_next = Li_next
+        # radiance ARRIVING at vertex d along the continuation: the next
+        # segment's in-scatter plus its transmittance times lo_{d+1}
+        # (the reference's recursive radiance() includes these terms)
+        if d + 1 < depths:
+            lo_next = seg_sc[d + 1] + seg_tr[d + 1] * Li_next
+        else:
+            lo_next = Li_next
         # flux sample: avg(Li_{d+1}) * w  (guidedpath.cpp:238,251)
         if train:
             flux = jnp.mean(lo_next, axis=1) * rec_w[d]
@@ -560,5 +607,12 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
                 ).reshape(gstate["hist"].shape)
         lo_d = rec_nee[d] + rec_bsemis[d] + rec_thr[d] * lo_next
         Li_next = lo_d
-    L = L0 + jnp.where(rec_valid[0][:, None], Li_next, 0.0) if depths > 0 else L0
+    if depths > 0:
+        # camera segment: in-scatter reaches the film unconditionally; the
+        # first vertex's radiance arrives through the segment transmittance
+        L = L0 + seg_sc[0] + seg_tr[0] * jnp.where(
+            rec_valid[0][:, None], Li_next, 0.0
+        )
+    else:
+        L = L0
     return L, gstate

@@ -85,6 +85,21 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
         t_hit = jnp.where(hitm, t, 1.0)
         count_emit = (not omit_direct) or depth > 1  # mlt.cpp:150,158
 
+        if cscene.media:
+            # homogeneous-media segment terms (primary-sample columns past
+            # the 16-per-depth region; render_mlt widens D to match).  The
+            # camera segment's in-scatter belongs to the separate direct
+            # pass (depth-2 plain path), so omit it here like NEE at depth 0
+            mdim = 4 + max_depth * 16 + depth * 5
+            seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
+                cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
+                xs, ys, sampler, 0, mdim - 10,
+                scatter_mask=alive & ~diffused,
+            )
+            if (not omit_direct) or depth > 0:
+                L = L + beta * seg_sc_d
+            beta = beta * seg_tr_d
+
         if cscene.env_light is not None and count_emit:
             le_env = cscene.env_light.color(rd)
             mis = jnp.where(
@@ -207,8 +222,17 @@ def render_mlt(cscene, cam, W, H, avg_spp, max_depth, n_chains=4096, seed=0):
     from pine_tpu.core.capture import bind, collect_device_arrays
     from pine_tpu.core.samplers import BlueSampler
 
+    if getattr(cscene, "grid_media", None):
+        from pine_tpu.core.log import WARNING
+
+        WARNING(
+            "MltIntegrator ignores grid (VDB) media (homogeneous media are "
+            "handled); use PathIntegrator for volumetric grids."
+        )
     cam_params = cam.params()
-    D = 4 + 16 * max_depth
+    # +5 primary-sample columns per depth for homogeneous-media segment
+    # terms (mlt_radiance's mdim region); media-free scenes keep the old D
+    D = 4 + 16 * max_depth + (5 * max_depth if cscene.media else 0)
     C = n_chains
     arrays, setters = collect_device_arrays((cscene, cam_params))
 

@@ -744,6 +744,42 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
     return L
 
 
+def segment_medium_terms(cscene, ro, rd, seg_tmax, active, xs, ys, sampler,
+                         sample_index, dim, scatter_mask=None):
+    """Homogeneous-media terms for one path segment: (tr (N,3), sc (N,3)).
+
+    tr = analytic segment transmittance (integrator.cpp:75-81; grid media
+    excluded — their extinction must travel on delta-tracked vertices,
+    which the record-and-reverse-sweep integrators do not trace); sc =
+    equiangular single-scatter NEE along the segment (path.cpp:50-73)
+    WITHOUT caller throughput.  Shared by the guided/cached/MLT/ReSTIR
+    tracers, which factor throughput in their own sweeps.  Consumes sampler
+    dims [dim+10, dim+14].
+
+    scatter_mask: lanes eligible for the in-scatter term — the reference
+    samples media only before the first diffuse bounce (path.cpp:50
+    `pv.diffuse_length == 0`), so callers pass `alive & ~diffused` there
+    while tr applies to every active segment.  Defaults to `active`."""
+    n = ro.shape[0]
+    ones = jnp.ones((n, 3), jnp.float32)
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    if not cscene.media:
+        return ones, zeros
+    tr = jnp.where(
+        active[:, None],
+        cscene.transmittance(ro, rd, seg_tmax, grid=False),
+        1.0,
+    )
+    sc = zeros
+    if len(cscene.lights) > 0:
+        sc = _medium_scatter(
+            cscene, ro, rd, seg_tmax, ones,
+            active if scatter_mask is None else scatter_mask,
+            xs, ys, sampler, sample_index, dim,
+        )
+    return tr, sc
+
+
 def _medium_scatter(cscene, ro, rd, seg_tmax, beta, active, xs, ys, sampler, sample_index, dim):
     """Equiangular single-scatter NEE inside homogeneous media
     (integrator.cpp:49-74 sample_medium + path.cpp:52-70 medium NEE).

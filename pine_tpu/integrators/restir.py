@@ -61,6 +61,13 @@ class RestirIntegrator:
 def render_restir(cscene, cam, W, H, sampler, spp):
     from pine_tpu.core.capture import bind, collect_device_arrays
 
+    if getattr(cscene, "grid_media", None):
+        from pine_tpu.core.log import WARNING
+
+        WARNING(
+            "RestirIntegrator ignores grid (VDB) media (homogeneous media "
+            "are handled); use PathIntegrator for volumetric grids."
+        )
     cam_params = cam.params()
     arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
     n = W * H
@@ -100,13 +107,26 @@ def _restir_sample(cscene, cam_params, xs, ys, W, H, sampler, si):
     ctx = dict(p=p_s, n=ns, uv=uv)
     wi_world = -rd
 
-    L = jnp.zeros((n, 3), f32)
+    # homogeneous-media terms of the camera segment (transmittance applies
+    # to everything arriving through it; in-scatter adds unconditionally)
+    if cscene.media:
+        seg_tr0, seg_sc0 = path_mod.segment_medium_terms(
+            cscene, ro, rd, jnp.where(hit, t, 1e8), jnp.ones((n,), bool),
+            xs, ys, sampler, si, 8 + M_CANDIDATES * 4,
+        )
+    else:
+        seg_tr0 = jnp.ones((n, 3), f32)
+        seg_sc0 = jnp.zeros((n, 3), f32)
+
+    L = seg_sc0
     emis = cscene.is_emissive_lane(gidx) & hit
     if cscene.emissive_globals:
         le = cscene.emissive_le(gidx, ctx, wi_world)
-        L = L + jnp.where(emis[:, None], le, 0.0)
+        L = L + jnp.where(emis[:, None], le * seg_tr0, 0.0)
     if cscene.env_light is not None:
-        L = L + jnp.where((~hit)[:, None], cscene.env_light.color(rd), 0.0)
+        L = L + jnp.where(
+            (~hit)[:, None], cscene.env_light.color(rd) * seg_tr0, 0.0
+        )
     shade = hit & ~emis
     if n_lights == 0:
         return L
@@ -154,6 +174,11 @@ def _restir_sample(cscene, cam_params, xs, ys, W, H, sampler, si):
     # visibility of the winner (biased-visibility reuse, restir.cpp:113-117)
     so = offset_ray_origin(p_s, face_forward(ns, r_wo))
     occ = cscene.any_hit(so, r_wo, jnp.zeros((n,), f32), r_dist * (1.0 - 1e-3))
+    if cscene.media:
+        # media attenuate the realized contribution, NOT the RIS target
+        # p_hat (which stays unshadowed like the occlusion convention), so
+        # L_di = C*tr * wsum/(M*p_hat) carries the attenuation through
+        r_C = r_C * cscene.transmittance(so, r_wo, r_dist)
     r_phat = jnp.where(occ, 0.0, r_phat)
     r_W = jnp.where(
         r_phat > 0.0, r_wsum / jnp.maximum(r_M * r_phat, 1e-20), 0.0
@@ -191,4 +216,4 @@ def _restir_sample(cscene, cam_params, xs, ys, W, H, sampler, si):
         )
 
     L_di = r_C * r_W[:, None]
-    return L + jnp.where(shade[:, None], L_di, 0.0)
+    return L + seg_tr0 * jnp.where(shade[:, None], L_di, 0.0)
