@@ -220,7 +220,7 @@ def _trace_recorded(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
             # the per-depth 16-dim budget is full, so medium draws live in
             # a region past every per-depth dim (media-free scenes draw
             # nothing there: goldens unchanged)
-            mdim = 4 + max_depth * 16 + depth * 5
+            mdim = 4 + max_depth * 16 + depth * 12
             recs["seg_tr"][depth], recs["seg_sc"][depth] = (
                 path_mod.segment_medium_terms(
                     cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
@@ -321,7 +321,7 @@ def _trace_with_cache(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         if cscene.media:
             # in-scatter uses beta at segment start; everything arriving
             # through the segment (env/emissive/vertex) sees seg_tr
-            mdim = 4 + max_depth * 16 + depth * 5
+            mdim = 4 + max_depth * 16 + depth * 12
             seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, sample_index, mdim - 10,

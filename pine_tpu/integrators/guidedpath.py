@@ -396,9 +396,12 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
         if cscene.media:
+            # own 12-dim/depth region past the per-depth DIM_STRIDE blocks
+            # (segment_medium_terms consumes [base+10, base+21])
             seg_tr[depth], seg_sc[depth] = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
-                xs, ys, sampler, sample_index, dim + 4,
+                xs, ys, sampler, sample_index,
+                4 + depths * DIM_STRIDE + depth * 12 - 10,
                 scatter_mask=alive & ~diffused,
             )
 

@@ -90,7 +90,7 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
             # the 16-per-depth region; render_mlt widens D to match).  The
             # camera segment's in-scatter belongs to the separate direct
             # pass (depth-2 plain path), so omit it here like NEE at depth 0
-            mdim = 4 + max_depth * 16 + depth * 5
+            mdim = 4 + max_depth * 16 + depth * 12
             seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, 0, mdim - 10,
@@ -230,9 +230,9 @@ def render_mlt(cscene, cam, W, H, avg_spp, max_depth, n_chains=4096, seed=0):
             "handled); use PathIntegrator for volumetric grids."
         )
     cam_params = cam.params()
-    # +5 primary-sample columns per depth for homogeneous-media segment
+    # +12 primary-sample columns per depth for homogeneous-media segment
     # terms (mlt_radiance's mdim region); media-free scenes keep the old D
-    D = 4 + 16 * max_depth + (5 * max_depth if cscene.media else 0)
+    D = 4 + 16 * max_depth + (12 * max_depth if cscene.media else 0)
     C = n_chains
     arrays, setters = collect_device_arrays((cscene, cam_params))
 

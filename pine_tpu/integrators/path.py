@@ -541,11 +541,14 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
         )
         hitm = hitm & alive
 
-        # ---- medium single scatter (path.cpp:50-73, equiangular NEE) ----
+        # ---- medium scatter: equiangular NEE + one-bounce phase
+        # continuation (path.cpp:50-73).  Own 12-dim/depth region past the
+        # bssrdf blocks: _medium_scatter consumes [base+10, base+21]
         if cscene.media and depth + 1 < max_depth and n_lights > 0:
             L_indirect = L_indirect + _medium_scatter(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), beta, alive & ~diffused,
-                xs, ys, sampler, sample_index, dim,
+                xs, ys, sampler, sample_index,
+                4 + max_depth * 48 + depth * 12 - 10,
             )
 
         # segment transmittance attenuates this vertex and all downstream.
@@ -781,14 +784,19 @@ def segment_medium_terms(cscene, ro, rd, seg_tmax, active, xs, ys, sampler,
 
 
 def _medium_scatter(cscene, ro, rd, seg_tmax, beta, active, xs, ys, sampler, sample_index, dim):
-    """Equiangular single-scatter NEE inside homogeneous media
-    (integrator.cpp:49-74 sample_medium + path.cpp:52-70 medium NEE).
+    """Homogeneous-media scatter at an equiangular point: NEE + one
+    phase-sampled continuation (integrator.cpp:49-74 sample_medium +
+    path.cpp:52-70 medium NEE + path.cpp:63-69 continuation).
 
-    Deviation: the reference discards the equiangular pdf when building the
-    MediumSample weight (interaction MediumSample drops its pdf argument); we
-    keep the correct 1/pdf factor.  Higher-order in-medium bounces (the
-    reference's recursive phase-sampled continuation) are not yet traced.
-    """
+    The continuation is a one-bounce gather — emissive/env arriving at the
+    medium vertex (MIS vs the light pdf) plus NEE at the surface it hits —
+    where the reference recurses fully; deeper GI through the medium vertex
+    is truncated (documented).  Deviation kept from earlier rounds: the
+    reference discards the equiangular pdf when building the MediumSample
+    weight; we keep the correct 1/pdf factor.
+
+    Consumes sampler dims [dim+10, dim+21] — callers pass a dim whose
+    +10..+21 window is free in their stride budget."""
     from pine_tpu.scene.csg_intersect import intervals_of
 
     n = ro.shape[0]
@@ -860,17 +868,69 @@ def _medium_scatter(cscene, ro, rd, seg_tmax, beta, active, xs, ys, sampler, sam
         tr_light = cscene.transmittance(p_scat, wo2, dist2)
         cos_sc = jnp.sum(-rd * wo2, -1)
         f_phase = med.pf.p(cos_sc)
+        # MIS vs the phase-sampled continuation (path.cpp:58-61; the phase
+        # function is its own pdf): without this the two strategies would
+        # double-count emissive light reachable by both
+        mis_nee = jnp.where(
+            ls_delta, 1.0, balance_heuristic(ls_pdf, f_phase)
+        )
         contrib = (
             beta
             * W
             * ls_le
             * tr_light
-            * (f_phase / jnp.maximum(ls_pdf, 1e-20))[:, None]
+            * (f_phase * mis_nee / jnp.maximum(ls_pdf, 1e-20))[:, None]
         )
         # per-medium scatter composes by interval coverage (the `inside` gate):
         # each medium the point lies in contributes its own sigma_s — summed,
         # NOT averaged (a 1/n_media factor here halves every disjoint medium;
         # VERDICT r2 weak #4)
-        ok = active & ls_valid & inside & (ts > 0.0) & (ts < seg_tmax) & ~occluded
+        scat = active & ls_valid & inside & (ts > 0.0) & (ts < seg_tmax)
+        ok = scat & ~occluded
         out = out + jnp.where(ok[:, None], contrib, 0.0)
+
+        # ---- one phase-sampled continuation from the medium vertex
+        # (path.cpp:63-69; the light-sample occlusion does NOT gate it —
+        # the reference only requires the light SAMPLE to exist).  Phase
+        # sampling here is exact (f == pdf), so no f/pdf factor.
+        u_ph = sampler.u2(xs, ys, sample_index, dim + 15)
+        wo_c, pdf_c = med.pf.sample(-rd, u_ph)
+        tc, gc, hitc, meshc = cscene.intersect(
+            p_scat, wo_c, jnp.full((n,), 1e-4, f32), jnp.full((n,), FLOAT_MAX, f32)
+        )
+        tc_hit = jnp.where(hitc, tc, 1.0)
+        tr_c = cscene.transmittance(p_scat, wo_c, jnp.where(hitc, tc, 1e8))
+        gather = jnp.zeros((n, 3), f32)
+        hpc = p_scat + tc_hit[:, None] * wo_c
+        pc, nc, uvc = cscene.surface_info(gc, hpc, meshc)
+        cctx = dict(p=pc, n=nc, uv=uvc)
+        emis_c = cscene.is_emissive_lane(gc) & hitc
+        if cscene.emissive_globals:
+            le_c = cscene.emissive_le(gc, cctx, -wo_c)
+            lpdf_c = cscene.light_pdf_at_hit(gc, p_scat, wo_c, tc_hit, nc)
+            mis_c = balance_heuristic(pdf_c, lpdf_c)
+            gather = gather + jnp.where(emis_c[:, None], le_c * mis_c[:, None], 0.0)
+        if cscene.env_light is not None:
+            mis_e = balance_heuristic(pdf_c, cscene.env_light.pdf(wo_c))
+            gather = gather + jnp.where(
+                (~hitc)[:, None], cscene.env_light.color(wo_c) * mis_e[:, None], 0.0
+            )
+        # NEE at the continuation's surface hit (the reference reaches this
+        # through its recursion; dominant term when walls are lit)
+        shade_c = hitc & ~emis_c & scat
+        if n_lights > 0:
+            mat_c = cscene.g_mat_dev[jnp.clip(gc, 0, cscene.n_global - 1)]
+            u_mat_c = sampler.u2(xs, ys, sample_index, dim + 17)
+            state_c = material_eval.eval_bxdf_state(
+                cscene, mat_c, cctx, -wo_c, u_mat_c[:, 0], u_mat_c[:, 1],
+                MIN_ROUGHNESS, jnp.ones((n,), bool),
+            )
+            u_sel_c = sampler.u1(xs, ys, sample_index, dim + 19)
+            u_l2_c = sampler.u2(xs, ys, sample_index, dim + 20)
+            ls_c = sample_one_light(cscene, pc, u_sel_c, u_l2_c, cctx)
+            nee_c, _ = nee_contribution(
+                cscene, pc, nc, state_c, to_local(nc, -wo_c), ls_c, shade_c
+            )
+            gather = gather + nee_c
+        out = out + jnp.where(scat[:, None], beta * W * tr_c * gather, 0.0)
     return out
