@@ -108,8 +108,9 @@ def render_cached(cscene, cam, W, H, sampler, spp, max_depth,
         from pine_tpu.core.log import WARNING
 
         WARNING(
-            "CachedPathIntegrator ignores grid (VDB) media (homogeneous "
-            "media are handled); use PathIntegrator for volumetric grids."
+            "CachedPathIntegrator renders grid (VDB) media with a "
+            "single-scatter approximation (multiple in-medium scattering "
+            "truncated); PathIntegrator traces them fully."
         )
     lo, hi = cscene.scene.get_aabb()
     grid = SpatialGrid(lo, hi, max_axis_resolution)
@@ -216,16 +217,16 @@ def _trace_recorded(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
-        if cscene.media:
+        if cscene.media or getattr(cscene, "grid_media", None):
             # the per-depth 16-dim budget is full, so medium draws live in
             # a region past every per-depth dim (media-free scenes draw
             # nothing there: goldens unchanged)
-            mdim = 4 + max_depth * 16 + depth * 12
+            mdim = 4 + max_depth * 16 + depth * 24
             recs["seg_tr"][depth], recs["seg_sc"][depth] = (
                 path_mod.segment_medium_terms(
                     cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                     xs, ys, sampler, sample_index, mdim - 10,
-                    scatter_mask=alive & ~diffused,
+                    scatter_mask=alive & ~diffused, include_grid=True,
                 )
             )
 
@@ -318,14 +319,14 @@ def _trace_with_cache(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
-        if cscene.media:
+        if cscene.media or getattr(cscene, "grid_media", None):
             # in-scatter uses beta at segment start; everything arriving
             # through the segment (env/emissive/vertex) sees seg_tr
-            mdim = 4 + max_depth * 16 + depth * 12
+            mdim = 4 + max_depth * 16 + depth * 24
             seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, sample_index, mdim - 10,
-                scatter_mask=alive & ~diffused,
+                scatter_mask=alive & ~diffused, include_grid=True,
             )
             L = L + beta * seg_sc_d
             beta = beta * seg_tr_d

@@ -31,17 +31,16 @@ guided samples (guidedpath.cpp:141-143) IS applied at depth > 1 exactly as
 the reference does — uncompensated, so the estimator shares the reference's
 slight bias in exchange for killing noisy-histogram fireflies.
 
-Media: homogeneous media are fully handled — every segment (continuation,
-dedicated BSDF ray, camera ray, shadow rays via nee_contribution) applies
-analytic transmittance and segments add equiangular single-scatter NEE
-(path_mod.segment_medium_terms); the training flux sees both, like the
-reference's recursive radiance().  In-medium GUIDED vertices
-(guidedpath.cpp:126-165 samples the leaf distribution at medium scatter
-points) are not traced — medium in-scatter here is NEE-only.  Grid (VDB)
-media are NOT supported by this integrator (their extinction rides
-delta-tracked vertices, which the record-and-reverse-sweep structure does
-not trace): render_guided logs a warning and ignores them — use
-PathIntegrator for VDB scenes.
+Media: every segment (continuation, dedicated BSDF ray, camera ray, shadow
+rays via nee_contribution) applies transmittance — analytic for
+homogeneous media, ratio-tracked for grids — and pre-diffuse segments add
+single scatter (equiangular for homogeneous, delta-tracked for grids) with
+NEE + a one-bounce phase continuation (path_mod.segment_medium_terms); the
+training flux sees all of it, like the reference's recursive radiance().
+In-medium GUIDED vertices (guidedpath.cpp:126-165 samples the leaf
+distribution at medium scatter points) are not traced, and multiple
+in-medium scattering is truncated (render_guided warns for grids; the
+wavefront PathIntegrator traces grid media fully).
 """
 from __future__ import annotations
 
@@ -265,10 +264,9 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
         from pine_tpu.core.log import WARNING
 
         WARNING(
-            "GuidedPathIntegrator ignores grid (VDB) media — their "
-            "extinction needs delta-tracked vertices this tracer does not "
-            "record; homogeneous media are handled. Use PathIntegrator "
-            "for volumetric grids."
+            "GuidedPathIntegrator renders grid (VDB) media with a "
+            "single-scatter approximation (multiple in-medium scattering "
+            "truncated); PathIntegrator traces them fully."
         )
     lo, hi = cscene.scene.get_aabb()
     n = W * H
@@ -395,14 +393,14 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
-        if cscene.media:
-            # own 12-dim/depth region past the per-depth DIM_STRIDE blocks
+        if cscene.media or getattr(cscene, "grid_media", None):
+            # own 24-dim/depth region past the per-depth DIM_STRIDE blocks
             # (segment_medium_terms consumes [base+10, base+21])
             seg_tr[depth], seg_sc[depth] = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, sample_index,
-                4 + depths * DIM_STRIDE + depth * 12 - 10,
-                scatter_mask=alive & ~diffused,
+                4 + depths * DIM_STRIDE + depth * 24 - 10,
+                scatter_mask=alive & ~diffused, include_grid=True,
             )
 
         # env/emissive only on the camera ray (guidedpath.cpp:168-176),
@@ -456,13 +454,13 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         bt_hit = jnp.where(bhit, bt, 1.0)
         bsemis = jnp.zeros((n, 3), f32)
-        # the dedicated ray's segment attenuates through homogeneous media
-        # like every other segment (transmittance(), integrator.cpp:75-81)
+        # the dedicated ray's segment attenuates through media like every
+        # other segment (transmittance(), integrator.cpp:75-81); ratio
+        # tracking covers grid media
         b_tr = (
-            cscene.transmittance(
-                bs_o, bs_wo, jnp.where(bhit, bt, 1e8), grid=False
-            )
-            if cscene.media else jnp.ones((n, 3), f32)
+            cscene.transmittance(bs_o, bs_wo, jnp.where(bhit, bt, 1e8))
+            if (cscene.media or getattr(cscene, "grid_media", None))
+            else jnp.ones((n, 3), f32)
         )
         if cscene.emissive_globals:
             bhp = bs_o + bt_hit[:, None] * bs_wo

@@ -85,16 +85,16 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
         t_hit = jnp.where(hitm, t, 1.0)
         count_emit = (not omit_direct) or depth > 1  # mlt.cpp:150,158
 
-        if cscene.media:
-            # homogeneous-media segment terms (primary-sample columns past
+        if cscene.media or getattr(cscene, "grid_media", None):
+            # media segment terms (primary-sample columns past
             # the 16-per-depth region; render_mlt widens D to match).  The
             # camera segment's in-scatter belongs to the separate direct
             # pass (depth-2 plain path), so omit it here like NEE at depth 0
-            mdim = 4 + max_depth * 16 + depth * 12
+            mdim = 4 + max_depth * 16 + depth * 24
             seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, 0, mdim - 10,
-                scatter_mask=alive & ~diffused,
+                scatter_mask=alive & ~diffused, include_grid=True,
             )
             if (not omit_direct) or depth > 0:
                 L = L + beta * seg_sc_d
@@ -226,13 +226,17 @@ def render_mlt(cscene, cam, W, H, avg_spp, max_depth, n_chains=4096, seed=0):
         from pine_tpu.core.log import WARNING
 
         WARNING(
-            "MltIntegrator ignores grid (VDB) media (homogeneous media are "
-            "handled); use PathIntegrator for volumetric grids."
+            "MltIntegrator renders grid (VDB) media with a single-scatter "
+            "approximation (multiple in-medium scattering truncated); "
+            "PathIntegrator traces them fully."
         )
     cam_params = cam.params()
-    # +12 primary-sample columns per depth for homogeneous-media segment
+    # +24 primary-sample columns per depth for media segment
     # terms (mlt_radiance's mdim region); media-free scenes keep the old D
-    D = 4 + 16 * max_depth + (12 * max_depth if cscene.media else 0)
+    D = 4 + 16 * max_depth + (
+        24 * max_depth
+        if (cscene.media or getattr(cscene, "grid_media", None)) else 0
+    )
     C = n_chains
     arrays, setters = collect_device_arrays((cscene, cam_params))
 

@@ -748,38 +748,95 @@ def path_trace_sample(cscene, cam_params, xs, ys, W, H, sampler, sample_index, m
 
 
 def segment_medium_terms(cscene, ro, rd, seg_tmax, active, xs, ys, sampler,
-                         sample_index, dim, scatter_mask=None):
-    """Homogeneous-media terms for one path segment: (tr (N,3), sc (N,3)).
+                         sample_index, dim, scatter_mask=None,
+                         include_grid=False):
+    """Media terms for one path segment: (tr (N,3), sc (N,3)).
 
-    tr = analytic segment transmittance (integrator.cpp:75-81; grid media
-    excluded — their extinction must travel on delta-tracked vertices,
-    which the record-and-reverse-sweep integrators do not trace); sc =
-    equiangular single-scatter NEE along the segment (path.cpp:50-73)
-    WITHOUT caller throughput.  Shared by the guided/cached/MLT/ReSTIR
-    tracers, which factor throughput in their own sweeps.  Consumes sampler
-    dims [dim+10, dim+14].
+    tr = segment transmittance (analytic for homogeneous media,
+    integrator.cpp:75-81; ratio-tracked for grid media when include_grid);
+    sc = in-segment scatter WITHOUT caller throughput: equiangular
+    single-scatter NEE + one-bounce phase continuation for homogeneous
+    media (path.cpp:50-73), and — with include_grid — delta-tracked
+    single scatter (NEE + continuation) plus blackbody emission for grid
+    media.  Shared by the guided/cached/MLT/ReSTIR tracers, which factor
+    throughput in their own sweeps.  Multiple in-medium scattering is
+    truncated here (the wavefront PathIntegrator traces it fully for
+    grids).  Consumes sampler dims [dim+10, dim+31].
 
     scatter_mask: lanes eligible for the in-scatter term — the reference
     samples media only before the first diffuse bounce (path.cpp:50
     `pv.diffuse_length == 0`), so callers pass `alive & ~diffused` there
     while tr applies to every active segment.  Defaults to `active`."""
     n = ro.shape[0]
-    ones = jnp.ones((n, 3), jnp.float32)
-    zeros = jnp.zeros((n, 3), jnp.float32)
-    if not cscene.media:
+    f32 = jnp.float32
+    ones = jnp.ones((n, 3), f32)
+    zeros = jnp.zeros((n, 3), f32)
+    gm = getattr(cscene, "grid_media", None) if include_grid else None
+    if not cscene.media and not gm:
         return ones, zeros
+    n_lights = len(cscene.lights)
+    smask = active if scatter_mask is None else scatter_mask
     tr = jnp.where(
         active[:, None],
-        cscene.transmittance(ro, rd, seg_tmax, grid=False),
+        cscene.transmittance(ro, rd, seg_tmax, grid=bool(gm)),
         1.0,
     )
     sc = zeros
-    if len(cscene.lights) > 0:
+    if cscene.media and n_lights > 0:
         sc = _medium_scatter(
-            cscene, ro, rd, seg_tmax, ones,
-            active if scatter_mask is None else scatter_mask,
+            cscene, ro, rd, seg_tmax, ones, smask,
             xs, ys, sampler, sample_index, dim,
         )
+    if gm:
+        from pine_tpu.core import rng as _rng
+        from pine_tpu.scene.media_track import grid_sample_scatter
+
+        key = _rng.hash_combine(
+            xs.astype(jnp.uint32), ys.astype(jnp.uint32),
+            jnp.uint32(sample_index), jnp.uint32(9200 + dim),
+        )
+        taken = jnp.zeros((n,), bool)
+        for gi, med in enumerate(gm):
+            sc_m, ts_m, w_m, _abs_m, le_m = grid_sample_scatter(
+                med, ro, rd, seg_tmax, key + jnp.uint32(gi)
+            )
+            em_gate = smask & ~taken
+            sc_m = sc_m & em_gate
+            # emission along the tracking walk (expected-value form); the
+            # absorbed flag is unused here — extinction rides tr, not lanes
+            if getattr(med, "emissive", False):
+                sc = sc + jnp.where(em_gate[:, None], le_m, 0.0)
+            p_m = ro + ts_m[:, None] * rd
+            if n_lights > 0:
+                u_sel = sampler.u1(xs, ys, sample_index, dim + 22)
+                u_l2 = sampler.u2(xs, ys, sample_index, dim + 23)
+                mctx = dict(p=p_m, n=rd, uv=jnp.zeros((n, 2), f32))
+                ls = sample_one_light(cscene, p_m, u_sel, u_l2, mctx)
+                occ = cscene.any_hit(
+                    p_m, ls["wo"], jnp.full((n,), 1e-4, f32),
+                    ls["distance"] * (1.0 - 1e-3),
+                )
+                tr_l = cscene.transmittance(p_m, ls["wo"], ls["distance"])
+                cos_m = jnp.sum(-rd * ls["wo"], -1)
+                f_p = med.pf.p(cos_m)
+                mis_m = jnp.where(
+                    ls["is_delta"], 1.0, balance_heuristic(ls["pdf"], f_p)
+                )
+                contrib = (
+                    w_m * ls["le"] * tr_l
+                    * (f_p * mis_m / jnp.maximum(ls["pdf"], 1e-20))[:, None]
+                )
+                ok_m = sc_m & ls["valid"] & ~occ
+                sc = sc + jnp.where(ok_m[:, None], contrib, 0.0)
+            sc = sc + jnp.where(
+                sc_m[:, None],
+                w_m * _phase_continuation_gather(
+                    cscene, p_m, rd, med.pf, sc_m, xs, ys, sampler,
+                    sample_index, dim + 10,
+                ),
+                0.0,
+            )
+            taken = taken | sc_m
     return tr, sc
 
 
@@ -889,48 +946,66 @@ def _medium_scatter(cscene, ro, rd, seg_tmax, beta, active, xs, ys, sampler, sam
         ok = scat & ~occluded
         out = out + jnp.where(ok[:, None], contrib, 0.0)
 
-        # ---- one phase-sampled continuation from the medium vertex
-        # (path.cpp:63-69; the light-sample occlusion does NOT gate it —
-        # the reference only requires the light SAMPLE to exist).  Phase
-        # sampling here is exact (f == pdf), so no f/pdf factor.
-        u_ph = sampler.u2(xs, ys, sample_index, dim + 15)
-        wo_c, pdf_c = med.pf.sample(-rd, u_ph)
-        tc, gc, hitc, meshc = cscene.intersect(
-            p_scat, wo_c, jnp.full((n,), 1e-4, f32), jnp.full((n,), FLOAT_MAX, f32)
+        out = out + jnp.where(
+            scat[:, None],
+            beta * W * _phase_continuation_gather(
+                cscene, p_scat, rd, med.pf, scat, xs, ys, sampler,
+                sample_index, dim,
+            ),
+            0.0,
         )
-        tc_hit = jnp.where(hitc, tc, 1.0)
-        tr_c = cscene.transmittance(p_scat, wo_c, jnp.where(hitc, tc, 1e8))
-        gather = jnp.zeros((n, 3), f32)
-        hpc = p_scat + tc_hit[:, None] * wo_c
-        pc, nc, uvc = cscene.surface_info(gc, hpc, meshc)
-        cctx = dict(p=pc, n=nc, uv=uvc)
-        emis_c = cscene.is_emissive_lane(gc) & hitc
-        if cscene.emissive_globals:
-            le_c = cscene.emissive_le(gc, cctx, -wo_c)
-            lpdf_c = cscene.light_pdf_at_hit(gc, p_scat, wo_c, tc_hit, nc)
-            mis_c = balance_heuristic(pdf_c, lpdf_c)
-            gather = gather + jnp.where(emis_c[:, None], le_c * mis_c[:, None], 0.0)
-        if cscene.env_light is not None:
-            mis_e = balance_heuristic(pdf_c, cscene.env_light.pdf(wo_c))
-            gather = gather + jnp.where(
-                (~hitc)[:, None], cscene.env_light.color(wo_c) * mis_e[:, None], 0.0
-            )
-        # NEE at the continuation's surface hit (the reference reaches this
-        # through its recursion; dominant term when walls are lit)
-        shade_c = hitc & ~emis_c & scat
-        if n_lights > 0:
-            mat_c = cscene.g_mat_dev[jnp.clip(gc, 0, cscene.n_global - 1)]
-            u_mat_c = sampler.u2(xs, ys, sample_index, dim + 17)
-            state_c = material_eval.eval_bxdf_state(
-                cscene, mat_c, cctx, -wo_c, u_mat_c[:, 0], u_mat_c[:, 1],
-                MIN_ROUGHNESS, jnp.ones((n,), bool),
-            )
-            u_sel_c = sampler.u1(xs, ys, sample_index, dim + 19)
-            u_l2_c = sampler.u2(xs, ys, sample_index, dim + 20)
-            ls_c = sample_one_light(cscene, pc, u_sel_c, u_l2_c, cctx)
-            nee_c, _ = nee_contribution(
-                cscene, pc, nc, state_c, to_local(nc, -wo_c), ls_c, shade_c
-            )
-            gather = gather + nee_c
-        out = out + jnp.where(scat[:, None], beta * W * tr_c * gather, 0.0)
     return out
+
+
+def _phase_continuation_gather(cscene, p_scat, rd, pf, scat, xs, ys, sampler,
+                               sample_index, dim):
+    """One phase-sampled continuation from a medium vertex (path.cpp:63-69):
+    emissive/env arriving at the vertex (MIS vs the light pdf) plus NEE at
+    the surface the continuation hits — a one-bounce truncation of the
+    reference's full recursion.  The light-sample occlusion does NOT gate it
+    (the reference only requires the light SAMPLE to exist).  Phase sampling
+    is exact (f == pdf), so no f/pdf factor.  Returns the gathered radiance
+    WITHOUT caller throughput/weight.  Consumes dims [dim+15, dim+21]."""
+    n = p_scat.shape[0]
+    f32 = jnp.float32
+    n_lights = len(cscene.lights)
+    u_ph = sampler.u2(xs, ys, sample_index, dim + 15)
+    wo_c, pdf_c = pf.sample(-rd, u_ph)
+    tc, gc, hitc, meshc = cscene.intersect(
+        p_scat, wo_c, jnp.full((n,), 1e-4, f32), jnp.full((n,), FLOAT_MAX, f32)
+    )
+    tc_hit = jnp.where(hitc, tc, 1.0)
+    tr_c = cscene.transmittance(p_scat, wo_c, jnp.where(hitc, tc, 1e8))
+    gather = jnp.zeros((n, 3), f32)
+    hpc = p_scat + tc_hit[:, None] * wo_c
+    pc, nc, uvc = cscene.surface_info(gc, hpc, meshc)
+    cctx = dict(p=pc, n=nc, uv=uvc)
+    emis_c = cscene.is_emissive_lane(gc) & hitc
+    if cscene.emissive_globals:
+        le_c = cscene.emissive_le(gc, cctx, -wo_c)
+        lpdf_c = cscene.light_pdf_at_hit(gc, p_scat, wo_c, tc_hit, nc)
+        mis_c = balance_heuristic(pdf_c, lpdf_c)
+        gather = gather + jnp.where(emis_c[:, None], le_c * mis_c[:, None], 0.0)
+    if cscene.env_light is not None:
+        mis_e = balance_heuristic(pdf_c, cscene.env_light.pdf(wo_c))
+        gather = gather + jnp.where(
+            (~hitc)[:, None], cscene.env_light.color(wo_c) * mis_e[:, None], 0.0
+        )
+    # NEE at the continuation's surface hit (the reference reaches this
+    # through its recursion; dominant term when walls are lit)
+    shade_c = hitc & ~emis_c & scat
+    if n_lights > 0:
+        mat_c = cscene.g_mat_dev[jnp.clip(gc, 0, cscene.n_global - 1)]
+        u_mat_c = sampler.u2(xs, ys, sample_index, dim + 17)
+        state_c = material_eval.eval_bxdf_state(
+            cscene, mat_c, cctx, -wo_c, u_mat_c[:, 0], u_mat_c[:, 1],
+            MIN_ROUGHNESS, jnp.ones((n,), bool),
+        )
+        u_sel_c = sampler.u1(xs, ys, sample_index, dim + 19)
+        u_l2_c = sampler.u2(xs, ys, sample_index, dim + 20)
+        ls_c = sample_one_light(cscene, pc, u_sel_c, u_l2_c, cctx)
+        nee_c, _ = nee_contribution(
+            cscene, pc, nc, state_c, to_local(nc, -wo_c), ls_c, shade_c
+        )
+        gather = gather + nee_c
+    return tr_c * gather

@@ -65,8 +65,9 @@ def render_restir(cscene, cam, W, H, sampler, spp):
         from pine_tpu.core.log import WARNING
 
         WARNING(
-            "RestirIntegrator ignores grid (VDB) media (homogeneous media "
-            "are handled); use PathIntegrator for volumetric grids."
+            "RestirIntegrator renders grid (VDB) media with a "
+            "single-scatter approximation (multiple in-medium scattering "
+            "truncated); PathIntegrator traces them fully."
         )
     cam_params = cam.params()
     arrays, setters = collect_device_arrays((cscene, sampler, cam_params))
@@ -109,10 +110,10 @@ def _restir_sample(cscene, cam_params, xs, ys, W, H, sampler, si):
 
     # homogeneous-media terms of the camera segment (transmittance applies
     # to everything arriving through it; in-scatter adds unconditionally)
-    if cscene.media:
+    if cscene.media or getattr(cscene, "grid_media", None):
         seg_tr0, seg_sc0 = path_mod.segment_medium_terms(
             cscene, ro, rd, jnp.where(hit, t, 1e8), jnp.ones((n,), bool),
-            xs, ys, sampler, si, 8 + M_CANDIDATES * 4,
+            xs, ys, sampler, si, 8 + M_CANDIDATES * 4, include_grid=True,
         )
     else:
         seg_tr0 = jnp.ones((n, 3), f32)
@@ -174,7 +175,7 @@ def _restir_sample(cscene, cam_params, xs, ys, W, H, sampler, si):
     # visibility of the winner (biased-visibility reuse, restir.cpp:113-117)
     so = offset_ray_origin(p_s, face_forward(ns, r_wo))
     occ = cscene.any_hit(so, r_wo, jnp.zeros((n,), f32), r_dist * (1.0 - 1e-3))
-    if cscene.media:
+    if cscene.media or getattr(cscene, "grid_media", None):
         # media attenuate the realized contribution, NOT the RIS target
         # p_hat (which stays unshadowed like the occlusion convention), so
         # L_di = C*tr * wsum/(M*p_hat) carries the attenuation through

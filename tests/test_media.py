@@ -427,3 +427,77 @@ def test_restir_handles_homogeneous_media(foggy):
     ))
     rel = abs(img.mean() - ref2.mean()) / ref2.mean()
     assert rel < 0.05, rel  # measured 0.004
+
+
+@pytest.fixture(scope="module")
+def grid_foggy():
+    """Constant-density grid cloud in the tame cbox (od ~ 0.5)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_integrators import tame_cbox
+
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.scene.media import GridMedium, HgPhaseFunction
+
+    res = 24
+    scene = tame_cbox(res)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] *= 1.6
+    m[:3, 3] = [-0.8, 0.2, 0.2]
+    scene.add(GridMedium(
+        np.full((8, 8, 8), 0.8, np.float32), m, HgPhaseFunction(0.2),
+        [0.03, 0.03, 0.03], [0.3, 0.35, 0.4],
+    ))
+    cscene = scene.compile()
+    ref = np.asarray(render_wavefront(
+        cscene, scene.camera, res, res, UniformSampler(192), 192, 4
+    ))
+    return scene, cscene, ref, res
+
+
+def test_guided_grid_media_single_scatter(grid_foggy):
+    """Grid media through the guided tracer: ratio-tracked extinction +
+    delta-tracked single scatter.  Lands BELOW the full path oracle by the
+    truncated in-medium multiple scattering (measured 12% low on this
+    od~0.5 cloud) — far from the ~40%+ error of ignoring the medium."""
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.guidedpath import render_guided
+
+    scene, cscene, ref, res = grid_foggy
+    img = np.asarray(render_guided(
+        cscene, scene.camera, res, res, UniformSampler(32), 32, 4, 16
+    ))
+    assert np.isfinite(img).all()
+    rel = (img.mean() - ref.mean()) / ref.mean()
+    assert -0.25 < rel < 0.05, rel  # measured -0.121
+
+
+def test_mlt_grid_media_single_scatter(grid_foggy):
+    from pine_tpu.integrators.mlt import render_mlt
+
+    scene, cscene, ref, res = grid_foggy
+    img = np.asarray(render_mlt(
+        cscene, scene.camera, res, res, 32, 4, n_chains=2048
+    ))
+    rel = (img.mean() - ref.mean()) / ref.mean()
+    assert -0.28 < rel < 0.05, rel  # measured -0.160
+
+
+def test_restir_grid_media_single_scatter(grid_foggy):
+    """At depth 2 the oracle itself has one in-medium scatter, so ReSTIR's
+    camera-segment treatment matches it tightly (measured 1.5%)."""
+    from pine_tpu.core.samplers import BlueSampler, UniformSampler
+    from pine_tpu.integrators.path import render_wavefront
+    from pine_tpu.integrators.restir import render_restir
+
+    scene, cscene, ref, res = grid_foggy
+    ref2 = np.asarray(render_wavefront(
+        cscene, scene.camera, res, res, UniformSampler(192), 192, 2
+    ))
+    img = np.asarray(render_restir(
+        cscene, scene.camera, res, res, BlueSampler(32), 32
+    ))
+    rel = abs(img.mean() - ref2.mean()) / ref2.mean()
+    assert rel < 0.08, rel
