@@ -474,6 +474,19 @@ def test_guided_grid_media_single_scatter(grid_foggy):
     assert -0.25 < rel < 0.05, rel  # measured -0.121
 
 
+def test_cached_grid_media_single_scatter(grid_foggy):
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators.cachedpath import render_cached
+
+    scene, cscene, ref, res = grid_foggy
+    img = np.asarray(render_cached(
+        cscene, scene.camera, res, res, UniformSampler(32), 32, 4, 32, 1
+    ))
+    assert np.isfinite(img).all()
+    rel = (img.mean() - ref.mean()) / ref.mean()
+    assert -0.30 < rel < 0.10, rel
+
+
 def test_mlt_grid_media_single_scatter(grid_foggy):
     from pine_tpu.integrators.mlt import render_mlt
 
