@@ -1431,15 +1431,23 @@ def _group_variant(g):
     Defaults come from honest sync-dispatch A/Bs on the real chip
     (scripts_render_ab.py / scripts_kernel_lab.py): small analytic groups run
     fastest as a straight SMEM-broadcast dense sweep (cbox 424-cone group:
-    dense 3.64s vs grid 4.89s render wall); mid-size groups keep the culled
-    grid kernel; mesh-scale (HBM) groups keep the supercell tree."""
+    dense 3.66s vs grid 4.89s vs mxu 4.81s vs mxup 9.83s render wall);
+    mid-size groups keep the culled grid kernel; mesh-scale (HBM) groups run
+    the grid kernel's per-taken-supercell MXU matmul mode when the prim type
+    has a coefficient table (terrain 12.0s vs 13.5s plain grid)."""
     import os
 
     if _grid_eligible(g):
         if _grid_hbm(g):
-            # r4 A/B: cell-culled grid scan 14.1s vs sctree 14.9s on the
-            # sorted terrain render, and ~3x faster to compile (40s vs 122s)
-            return os.environ.get("PINE_MESH_KERNEL", "grid")
+            # r4 A/Bs (sorted terrain render wall): mxu-in-grid 12.0s vs
+            # cell-culled grid scan 13.5s vs sctree 14.9s; grid also compiles
+            # ~3x faster than sctree (40s vs 122s).  The matmul mode needs a
+            # coefficient table for the prim type; fall back to the plain
+            # grid scan for types without one.
+            from pine_tpu.accel import mxu_sweep
+
+            default = "mxu" if mxu_sweep.supports(g["tid"]) else "grid"
+            return os.environ.get("PINE_MESH_KERNEL", default)
         small = os.environ.get("PINE_SMALL_KERNEL")
         if small:
             return small

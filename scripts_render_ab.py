@@ -88,6 +88,21 @@ def main():
             {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "mxup"},
         ]
         run(scene, scene.camera, "cbox", configs)
+    elif which == "cbox-scd":
+        # cell-culled dense sweep: culls only fire on spatially-compact ray
+        # blocks, so it is measured with and without the coherence sort
+        from bench import CBOX_PRL
+        from pine_tpu.prl.interp import Interpreter
+
+        itp = Interpreter()
+        itp.run(CBOX_PRL, "<ab:cbox>")
+        scene = itp.get_var("scene")
+        configs = [
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "dense"},
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "scdense"},
+            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "scdense"},
+        ]
+        run(scene, scene.camera, "cbox", configs)
     else:
         from bench_mesh import build_scene
 

@@ -25,10 +25,8 @@ STEPS = [
      [sys.executable, "bench_instanced.py"], 5400),
     ("bench_instanced.py --big (10201 instances, no cap)",
      [sys.executable, "bench_instanced.py", "--big"], 7200),
-    ("render A/B: cbox mxu/mxup vs dense (main open perf lever)",
-     [sys.executable, "scripts_render_ab.py", "cbox"], 7200),
-    ("render A/B: terrain grid vs mxu",
-     [sys.executable, "scripts_render_ab.py", "terrain"], 7200),
+    ("render A/B: cbox cell-culled dense (scdense) vs dense",
+     [sys.executable, "scripts_render_ab.py", "cbox-scd"], 7200),
     ("bench_cloud.py (stretch 1080p x 256spp chromatic cloud)",
      [sys.executable, "bench_cloud.py"], 10800),
 ]
