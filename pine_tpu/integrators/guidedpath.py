@@ -32,15 +32,18 @@ the reference does — uncompensated, so the estimator shares the reference's
 slight bias in exchange for killing noisy-histogram fireflies.
 
 Media: every segment (continuation, dedicated BSDF ray, camera ray, shadow
-rays via nee_contribution) applies transmittance — analytic for
-homogeneous media, ratio-tracked for grids — and pre-diffuse segments add
-single scatter (equiangular for homogeneous, delta-tracked for grids) with
-NEE + a one-bounce phase continuation (path_mod.segment_medium_terms); the
-training flux sees all of it, like the reference's recursive radiance().
-In-medium GUIDED vertices (guidedpath.cpp:126-165 samples the leaf
-distribution at medium scatter points) are not traced, and multiple
-in-medium scattering is truncated (render_guided warns for grids; the
-wavefront PathIntegrator traces grid media fully).
+rays) applies transmittance — analytic for homogeneous media, and for grid
+(VDB) media the delta-tracking events themselves carry it.  Homogeneous
+media add pre-diffuse equiangular single scatter with NEE + a one-bounce
+phase continuation (path_mod.segment_medium_terms).  Grid media produce
+FIRST-CLASS medium vertices (guidedpath.cpp:126-165): a delta-tracked
+scatter event makes the lane's vertex this depth the medium point — NEE
+from it at weight 1 (its continuation gathers no le, so light sampling is
+the sole estimator, guidedpath.cpp:129-134), a guided-vs-phase
+one-sample-MIS continuation drawn from the guide at the medium position
+(guide.traverse(mit->p), guidedpath.cpp:136), and the continuation flux
+trains the guide there — so multiple in-medium scattering is traced to
+max_path_length exactly like surface bounces.
 """
 from __future__ import annotations
 
@@ -260,14 +263,6 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
 
     from pine_tpu.core.capture import bind, collect_device_arrays
 
-    if getattr(cscene, "grid_media", None):
-        from pine_tpu.core.log import WARNING
-
-        WARNING(
-            "GuidedPathIntegrator renders grid (VDB) media with a "
-            "single-scatter approximation (multiple in-medium scattering "
-            "truncated); PathIntegrator traces them fully."
-        )
     lo, hi = cscene.scene.get_aabb()
     n = W * H
     struct = os.environ.get("PINE_GUIDE_STRUCT", "tree")
@@ -393,34 +388,81 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         )
         hitm = hitm & alive
         t_hit = jnp.where(hitm, t, 1.0)
-        if cscene.media or getattr(cscene, "grid_media", None):
+        if cscene.media:
             # own 24-dim/depth region past the per-depth DIM_STRIDE blocks
-            # (segment_medium_terms consumes [base+10, base+21])
+            # (segment_medium_terms consumes [base+10, base+21]).  Grid media
+            # are NOT folded in here: they produce first-class medium
+            # vertices below (guidedpath.cpp:126-165), so the segment terms
+            # stay homogeneous-only (grid extinction rides the tracking
+            # events, not tr).
             seg_tr[depth], seg_sc[depth] = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, sample_index,
                 4 + depths * DIM_STRIDE + depth * 24 - 10,
-                scatter_mask=alive & ~diffused, include_grid=True,
+                scatter_mask=alive & ~diffused, include_grid=False,
             )
+
+        # ---- grid media: delta-tracked first-class medium vertices
+        # (guidedpath.cpp:126-165).  A scattering lane's vertex THIS depth is
+        # the medium point: NEE from it (weight 1 — the guided medium
+        # continuation gathers no le, so light sampling is the sole
+        # estimator) + a guided-vs-phase one-sample-MIS continuation whose
+        # flux trains the guide at the medium position.  Absorption kills the
+        # lane; pass-through lanes carry the stochastic transmittance.
+        gm = getattr(cscene, "grid_media", None) or []
+        med_scatter = jnp.zeros((n,), bool)
+        med_p = jnp.zeros((n, 3), f32)
+        med_w = jnp.ones((n, 3), f32)
+        med_masks = []
+        if gm:
+            from pine_tpu.core import rng as _rng
+            from pine_tpu.scene.media_track import grid_sample_scatter
+
+            seg_limit = jnp.where(hitm, t, jnp.full((n,), FLOAT_MAX, f32))
+            key = _rng.hash_combine(
+                xs.astype(jnp.uint32), ys.astype(jnp.uint32),
+                jnp.uint32(sample_index), jnp.uint32(7300 + depth),
+            )
+            for gi, med in enumerate(gm):
+                sc_m, ts_m, w_m, abs_m, le_m = grid_sample_scatter(
+                    med, ro, rd, seg_limit, key + jnp.uint32(gi)
+                )
+                # a lane scatters at most once per segment; medium k must not
+                # re-scatter (or clobber) a lane medium j<k took
+                em_gate = alive & ~med_scatter
+                sc_m = sc_m & em_gate
+                abs_m = abs_m & em_gate & ~sc_m
+                if getattr(med, "emissive", False):
+                    # blackbody emission along the tracking walk joins the
+                    # in-segment source term (medium.cpp:233-249)
+                    seg_sc[depth] = seg_sc[depth] + jnp.where(
+                        em_gate[:, None], le_m, 0.0
+                    )
+                alive = alive & ~abs_m
+                med_p = jnp.where(sc_m[:, None], ro + ts_m[:, None] * rd, med_p)
+                med_w = jnp.where(sc_m[:, None], w_m, med_w)
+                med_scatter = med_scatter | sc_m
+                med_masks.append(sc_m)
 
         # env/emissive only on the camera ray (guidedpath.cpp:168-176),
         # attenuated through media (Lo += Tr * ..., guidedpath.cpp:167-176)
         if depth == 0:
             if cscene.env_light is not None:
                 L0 = L0 + jnp.where(
-                    (alive & ~hitm)[:, None],
+                    (alive & ~hitm & ~med_scatter)[:, None],
                     cscene.env_light.color(rd) * seg_tr[0], 0.0,
                 )
         hp = ro + t_hit[:, None] * rd
         p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
         ctx = dict(p=p_s, n=ns, uv=uv)
         wi_world = -rd
-        emis = cscene.is_emissive_lane(gidx) & hitm
+        emis = cscene.is_emissive_lane(gidx) & hitm & ~med_scatter
         if depth == 0 and cscene.emissive_globals:
             le = cscene.emissive_le(gidx, ctx, wi_world)
             L0 = L0 + jnp.where(emis[:, None], le * seg_tr[0], 0.0)
 
-        alive = hitm & ~emis
+        alive = (hitm & ~emis & ~med_scatter) | med_scatter
+        surf = alive & ~med_scatter
 
         mat_idx = cscene.g_mat_dev[jnp.clip(gidx, 0, cscene.n_global - 1)]
         u_mat = sampler.u2(xs, ys, sample_index, dim + 3)
@@ -431,15 +473,52 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         wi = to_local(ns, wi_world)
         bxdf_delta = bxdf_mod.is_delta(state)
 
-        # ---- NEE ----
+        # ---- NEE (one light sample + one shadow query for BOTH vertex
+        # kinds; medium and surface events are exclusive per lane) ----
         if n_lights > 0:
             u_sel = sampler.u1(xs, ys, sample_index, dim + 0)
             u_light = sampler.u2(xs, ys, sample_index, dim + 1)
-            ls = path_mod.sample_one_light(cscene, p_s, u_sel, u_light, ctx)
-            contrib, _ = path_mod.nee_contribution(
-                cscene, p_s, ns, state, wi, ls, alive
+            pv_nee = jnp.where(med_scatter[:, None], med_p, p_s)
+            ls = path_mod.sample_one_light(
+                cscene, pv_nee, u_sel, u_light,
+                dict(p=pv_nee, n=ns, uv=uv),
             )
-            rec_nee[depth] = contrib
+            do_s = surf & ls["valid"] & ~bxdf_delta & (ls["pdf"] > 0.0)
+            do_m = med_scatter & ls["valid"] & (ls["pdf"] > 0.0)
+            so = jnp.where(
+                med_scatter[:, None], med_p,
+                offset_ray_origin(p_s, face_forward(ns, ls["wo"])),
+            )
+            occluded = cscene.any_hit(
+                so, ls["wo"], jnp.where(med_scatter, 1e-4, 0.0),
+                jnp.where(do_s | do_m, ls["distance"] * (1.0 - 1e-3), -1.0),
+            )
+            tr_l = (
+                cscene.transmittance(so, ls["wo"], ls["distance"])
+                if (cscene.media or gm) else jnp.ones((n, 3), f32)
+            )
+            wo_l = to_local(ns, ls["wo"])
+            f_l, pdf_l = bxdf_mod.f_and_pdf(state, wi, wo_l)
+            cos_l = jnp.abs(dot(ls["wo"], ns))
+            mis_l = jnp.where(
+                ls["is_delta"], 1.0, balance_heuristic(ls["pdf"], pdf_l)
+            )
+            c_surf = ls["le"] * f_l * (
+                cos_l / jnp.maximum(ls["pdf"], 1e-20) * mis_l
+            )[:, None]
+            # medium vertex: phase f, weight 1 (no MIS) — the medium
+            # continuation gathers no le (guidedpath.cpp:129-134)
+            f_pm = jnp.zeros((n,), f32)
+            cos_pm = jnp.sum(-rd * ls["wo"], -1)
+            for gi, med in enumerate(gm):
+                f_pm = jnp.where(med_masks[gi], med.pf.p(cos_pm), f_pm)
+            c_med = med_w * ls["le"] * (
+                f_pm / jnp.maximum(ls["pdf"], 1e-20)
+            )[:, None]
+            contrib = jnp.where(med_scatter[:, None], c_med, c_surf) * tr_l
+            rec_nee[depth] = jnp.where(
+                ((do_s | do_m) & ~occluded)[:, None], contrib, 0.0
+            )
 
         # ---- dedicated BSDF ray for emissive hits (guidedpath.cpp:212-239) --
         u_wm = sampler.u2(xs, ys, sample_index, dim + 5)
@@ -485,17 +564,20 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
                 * (bs_cos * emis_env / jnp.maximum(bs["pdf"], 1e-20))[:, None] * bs["f"],
                 0.0,
             )
-        rec_bsemis[depth] = jnp.where((alive & bs["valid"])[:, None], bsemis, 0.0)
+        rec_bsemis[depth] = jnp.where((surf & bs["valid"])[:, None], bsemis, 0.0)
 
         # ---- one-sample-MIS continuation: guided vs BSDF ------------------
         u_pick = sampler.u1(xs, ys, sample_index, dim + 10)
         u_guide = sampler.u2(xs, ys, sample_index, dim + 11)
         u_def = sampler.u1(xs, ys, sample_index, dim + 13)
+        # the guided distribution lives at the VERTEX position — the medium
+        # point for medium lanes (guidedpath.cpp:136 guide.traverse(mit->p))
+        pv = jnp.where(med_scatter[:, None], med_p, p_s)
         if tree_mode:
-            droot, _, foot = guide.lookup(gstate, p_s)
+            droot, _, foot = guide.lookup(gstate, pv)
             g_wo, g_pdf, g_valid = guide.sample(gstate, droot, u_guide, u_def)
         else:
-            cell = grid.cell_of(p_s)
+            cell = grid.cell_of(pv)
             hist_rows = gstate["hist"][cell]
             g_wo, g_pdf, g_valid = guide.sample(hist_rows, u_guide, u_def)
         # the reference's uncompensated Russian roulette on low-pdf guided
@@ -514,7 +596,9 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         transmissive = (state["tag"] == BX_REFRACTIVE) | (
             state["tag"] == BX_REFR_DIELECTRIC
         )
-        pa = jnp.where(bxdf_delta | transmissive, 0.0, prob_a)
+        # delta/transmissive gating is a SURFACE concern; medium lanes always
+        # mix guided with phase sampling (guidedpath.cpp:138 prob_a)
+        pa = jnp.where((bxdf_delta | transmissive) & ~med_scatter, 0.0, prob_a)
         chose_guided = u_pick < pa  # branch choice is by probability alone;
         # a failed guided sample wastes the path (guidedpath.cpp:229 nullopt)
         use_guide = chose_guided & g_valid
@@ -525,34 +609,56 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
         u_cos2 = sampler.u2(xs, ys, sample_index, dim + 17)
         bs2 = bxdf_mod.sample(state, wi, u_wm2, u_fr2, u_cos2)
         b_wo = to_world(ns, bs2["wo"])
+        # medium alternative branch: phase sample (exclusive events, so the
+        # bxdf dims are safely reused; guidedpath.cpp:155 pg.sample)
+        ph_wo, ph_pdf = b_wo, jnp.zeros((n,), f32)
+        for gi, med in enumerate(gm):
+            w_s, p_s_pdf = med.pf.sample(-rd, u_wm2)
+            ph_wo = jnp.where(med_masks[gi][:, None], w_s, ph_wo)
+            ph_pdf = jnp.where(med_masks[gi], p_s_pdf, ph_pdf)
+        alt_wo = jnp.where(med_scatter[:, None], ph_wo, b_wo)
+        alt_pdf = jnp.where(med_scatter, ph_pdf, bs2["pdf"])
+        alt_valid = jnp.where(med_scatter, ph_pdf > 0.0, bs2["valid"])
 
-        wo_world = jnp.where(use_guide[:, None], g_wo, b_wo)
+        wo_world = jnp.where(use_guide[:, None], g_wo, alt_wo)
         wo_local = to_local(ns, wo_world)
         f_g, pdf_b_at = bxdf_mod.f_and_pdf(state, wi, wo_local)
-        cosine = jnp.abs(dot(wo_world, ns))
+        # phase value == phase pdf at the chosen direction (HG-family PFs
+        # sample exactly); evaluated per owning medium
+        f_ph_at = jnp.zeros((n,), f32)
+        cos_ph = jnp.sum(-rd * wo_world, -1)
+        for gi, med in enumerate(gm):
+            f_ph_at = jnp.where(med_masks[gi], med.pf.p(cos_ph), f_ph_at)
+        cosine = jnp.where(med_scatter, 1.0, jnp.abs(dot(wo_world, ns)))
         if tree_mode:
             guide_pdf_at = guide.pdf(gstate, droot, wo_world)
         else:
             guide_pdf_at = guide.pdf(hist_rows, wo_world)
+        alt_pdf_at = jnp.where(med_scatter, f_ph_at, pdf_b_at)
 
         # guided branch weight: f*cos/g_pdf * mis / pa
-        mis_g = balance_heuristic(pa * g_pdf, (1 - pa) * pdf_b_at)
+        mis_g = balance_heuristic(pa * g_pdf, (1 - pa) * alt_pdf_at)
         w_g = (cosine * mis_g / jnp.maximum(g_pdf, 1e-20) /
                jnp.maximum(pa, 1e-6))
-        thr_g = f_g * w_g[:, None]
-        # bsdf branch weight
+        thr_g = jnp.where(med_scatter[:, None], f_ph_at[:, None], f_g) \
+            * w_g[:, None]
+        # alternative (bsdf | phase) branch weight
         mis_b = jnp.where(
-            bxdf_delta, 1.0,
-            balance_heuristic((1 - pa) * bs2["pdf"], pa * guide_pdf_at),
+            bxdf_delta & ~med_scatter, 1.0,
+            balance_heuristic((1 - pa) * alt_pdf, pa * guide_pdf_at),
         )
-        w_b = (cosine * mis_b / jnp.maximum(bs2["pdf"], 1e-20) /
+        w_b = (cosine * mis_b / jnp.maximum(alt_pdf, 1e-20) /
                jnp.maximum(1 - pa, 1e-6))
-        thr_b = bs2["f"] * w_b[:, None]
+        thr_b = jnp.where(med_scatter[:, None], f_ph_at[:, None], bs2["f"]) \
+            * w_b[:, None]
 
-        cont_valid = jnp.where(chose_guided, g_valid, bs2["valid"]) & alive
+        cont_valid = jnp.where(chose_guided, g_valid, alt_valid) & alive
         thr = jnp.where(use_guide[:, None], thr_g, thr_b)
-        w_train = jnp.where(use_guide, w_g / jnp.maximum(cosine, 1e-6),
-                            w_b / jnp.maximum(cosine, 1e-6))
+        # the chromatic tracking weight (mit->W) scales the whole medium
+        # vertex contribution but NOT the training flux (the reference trains
+        # on avg(Li)*mis/pdf/prob, guidedpath.cpp:148,161)
+        thr = jnp.where(med_scatter[:, None], med_w * thr, thr)
+        w_train = jnp.where(use_guide, w_g, w_b) / jnp.maximum(cosine, 1e-6)
 
         rec_thr[depth] = jnp.where(cont_valid[:, None], thr, 0.0)
         if tree_mode:
@@ -561,7 +667,7 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
             u_jit2 = sampler.u2(xs, ys, sample_index, dim + 20)
             u_jit1 = sampler.u1(xs, ys, sample_index, dim + 22)
             u3 = jnp.concatenate([u_jit2, u_jit1[:, None]], axis=1)
-            troot, tleaf, _ = guide.lookup_train(gstate, p_s, foot, u3)
+            troot, tleaf, _ = guide.lookup_train(gstate, pv, foot, u3)
             rec_cell[depth] = troot
             rec_leaf[depth] = tleaf
             rec_sq[depth] = dir_to_square(wo_world)
@@ -569,15 +675,18 @@ def _trace_guided(cscene, cam_params, xs, ys, W, H, sampler, sample_index,
             rec_cell[depth] = cell
             rec_bin[depth] = dir_bin(wo_world)
         rec_w[depth] = jnp.where(
-            cont_valid & ~(bxdf_delta & ~use_guide), w_train, 0.0
+            cont_valid & ~(bxdf_delta & ~med_scatter & ~use_guide), w_train, 0.0
         )
         rec_valid[depth] = alive
 
         alive = cont_valid
-        diffused = diffused | (alive & ~bs2["is_delta_sample"])
-        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
+        diffused = diffused | (alive & ~med_scatter & ~bs2["is_delta_sample"])
+        ro = jnp.where(
+            med_scatter[:, None], med_p,
+            offset_ray_origin(p_s, face_forward(ns, wo_world)),
+        )
         rd = wo_world
-        tmin = jnp.zeros((n,), f32)
+        tmin = jnp.where(med_scatter, 1e-4, 0.0)
 
     # ---- reverse sweep: per-vertex incident radiance + training flux ------
     Li_next = jnp.zeros((n, 3), f32)  # radiance leaving vertex d+1
