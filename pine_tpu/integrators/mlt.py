@@ -14,6 +14,14 @@ As in the reference, the chains transport only indirect light
 plain-path pass of depth 2 adds direct lighting (mlt.cpp:102-113), and the
 chain image is scaled by the bootstrap luminance estimate over the mutation
 count (mlt.cpp:100).
+
+Media (mlt.cpp:118-141): homogeneous segments add analytic transmittance +
+pre-diffuse equiangular single scatter through the shared
+segment_medium_terms; grid (VDB) media are delta-tracked FIRST-CLASS
+medium vertices exactly like the wavefront path's — the tracking chain
+rides frozen per-lane hash randomness (the unbounded null-collision walk
+cannot live in the primary-sample matrix), while the medium NEE and phase
+continuation draws ride X columns so Kelemen mutations perturb them.
 """
 from __future__ import annotations
 
@@ -64,7 +72,11 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
     pfilm = X[:, 0:2]
     u_lens = X[:, 2:4]
     ro, rd = camera_mod.gen_rays(cam_params, pfilm, u_lens)
-    xs = jnp.zeros((n,), jnp.int32)  # unused by ArraySampler
+    # ArraySampler ignores (xs, ys); the delta-tracking hash keys do NOT —
+    # per-lane indices keep each chain's frozen auxiliary randomness
+    # independent (all-zeros would share ONE tracking sequence across every
+    # chain, correlating the whole render)
+    xs = jnp.arange(n, dtype=jnp.int32)
     ys = jnp.zeros((n,), jnp.int32)
 
     L = jnp.zeros((n, 3), f32)
@@ -94,11 +106,80 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
             seg_tr_d, seg_sc_d = path_mod.segment_medium_terms(
                 cscene, ro, rd, jnp.where(hitm, t, 1e8), alive,
                 xs, ys, sampler, 0, mdim - 10,
-                scatter_mask=alive & ~diffused, include_grid=True,
+                scatter_mask=alive & ~diffused, include_grid=False,
             )
             if (not omit_direct) or depth > 0:
                 L = L + beta * seg_sc_d
             beta = beta * seg_tr_d
+        else:
+            mdim = 0
+
+        # ---- grid media: delta-tracked FIRST-CLASS medium vertices, the
+        # wavefront path's structure (path.py) in primary-sample space
+        # (mlt.cpp:118-141).  A scattering lane's vertex this depth is the
+        # medium point: NEE from it + a phase-sampled continuation; the
+        # tracking chain rides frozen per-lane hash randomness (unbounded
+        # walk — it cannot live in X), NEE/phase draws ride the X columns of
+        # the mdim region so mutations perturb them.
+        gm = getattr(cscene, "grid_media", None) or []
+        med_scatter = jnp.zeros((n,), bool)
+        med_ro, med_rd = ro, rd
+        med_pdf = jnp.zeros((n,), f32)
+        if gm and depth + 1 < max_depth:
+            from pine_tpu.core import rng as _rng
+            from pine_tpu.scene.media_track import grid_sample_scatter
+
+            seg_limit = jnp.where(hitm, t, jnp.full((n,), FLOAT_MAX, f32))
+            key = _rng.hash_combine(
+                xs.astype(jnp.uint32), ys.astype(jnp.uint32),
+                jnp.uint32(0), jnp.uint32(7000 + depth),
+            )
+            for gi, med in enumerate(gm):
+                sc_m, ts_m, w_m, abs_m, le_m = grid_sample_scatter(
+                    med, ro, rd, seg_limit, key + jnp.uint32(gi)
+                )
+                em_gate = alive & ~med_scatter
+                sc_m = sc_m & em_gate
+                abs_m = abs_m & em_gate & ~sc_m
+                if getattr(med, "emissive", False) and (
+                    (not omit_direct) or depth > 0
+                ):
+                    # camera-segment emission is direct transport — the
+                    # separate depth-2 direct pass covers it
+                    L = L + jnp.where(em_gate[:, None], beta * le_m, 0.0)
+                alive = alive & ~abs_m
+                p_m = ro + ts_m[:, None] * rd
+                if n_lights > 0 and ((not omit_direct) or depth > 0):
+                    u_sel = sampler.u1(xs, ys, 0, mdim + 12)
+                    u_l2 = sampler.u2(xs, ys, 0, mdim + 13)
+                    mctx = dict(p=p_m, n=rd, uv=jnp.zeros((n, 2), f32))
+                    ls = path_mod.sample_one_light(
+                        cscene, p_m, u_sel, u_l2, mctx
+                    )
+                    occ = cscene.any_hit(
+                        p_m, ls["wo"], jnp.full((n,), 1e-4, f32),
+                        ls["distance"] * (1.0 - 1e-3),
+                    )
+                    tr_l = cscene.transmittance(p_m, ls["wo"], ls["distance"])
+                    cos_m = jnp.sum(-rd * ls["wo"], -1)
+                    f_p = med.pf.p(cos_m)
+                    mis_m = jnp.where(
+                        ls["is_delta"], 1.0,
+                        balance_heuristic(ls["pdf"], f_p),
+                    )
+                    contrib = (
+                        beta * w_m * ls["le"] * tr_l
+                        * (f_p * mis_m / jnp.maximum(ls["pdf"], 1e-20))[:, None]
+                    )
+                    ok_m = sc_m & ls["valid"] & ~occ
+                    L = L + jnp.where(ok_m[:, None], contrib, 0.0)
+                u_ph = sampler.u2(xs, ys, 0, mdim + 15)
+                wo_m, pdf_m = med.pf.sample(-rd, u_ph)
+                med_ro = jnp.where(sc_m[:, None], p_m, med_ro)
+                med_rd = jnp.where(sc_m[:, None], wo_m, med_rd)
+                med_pdf = jnp.where(sc_m, pdf_m, med_pdf)
+                beta = jnp.where(sc_m[:, None], beta * w_m, beta)
+                med_scatter = med_scatter | sc_m
 
         if cscene.env_light is not None and count_emit:
             le_env = cscene.env_light.color(rd)
@@ -106,21 +187,25 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
                 prev_delta, 1.0,
                 balance_heuristic(prev_pdf, cscene.env_light.pdf(rd)),
             )
-            L = L + jnp.where((alive & ~hitm)[:, None], beta * le_env * mis[:, None], 0.0)
+            L = L + jnp.where(
+                (alive & ~hitm & ~med_scatter)[:, None],
+                beta * le_env * mis[:, None], 0.0,
+            )
 
         hp = ro + t_hit[:, None] * rd
         p_s, ns, uv = cscene.surface_info(gidx, hp, mesh_tri)
         ctx = dict(p=p_s, n=ns, uv=uv)
         wi_world = -rd
 
-        emis = cscene.is_emissive_lane(gidx) & hitm
+        emis = cscene.is_emissive_lane(gidx) & hitm & ~med_scatter
         if cscene.emissive_globals and count_emit:
             le = cscene.emissive_le(gidx, ctx, wi_world)
             light_pdf = cscene.light_pdf_at_hit(gidx, ro, rd, t_hit, ns)
             mis = jnp.where(prev_delta, 1.0, balance_heuristic(prev_pdf, light_pdf))
             L = L + jnp.where(emis[:, None], beta * le * mis[:, None], 0.0)
 
-        alive = hitm & ~emis
+        alive = (hitm & ~emis & ~med_scatter) | med_scatter
+        surf = alive & ~med_scatter
         if depth + 1 >= max_depth:
             break
 
@@ -139,7 +224,7 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
             u_light = sampler.u2(xs, ys, 0, dim + 1)
             ls = path_mod.sample_one_light(cscene, p_s, u_sel, u_light, ctx)
             contrib, _ = path_mod.nee_contribution(
-                cscene, p_s, ns, state, wi, ls, alive
+                cscene, p_s, ns, state, wi, ls, surf
             )
             L = L + beta * contrib
 
@@ -150,14 +235,18 @@ def mlt_radiance(cscene, cam_params, X, W, H, max_depth, omit_direct=True):
         wo_world = to_world(ns, bs["wo"])
         cosine = jnp.abs(dot(wo_world, ns))
         thr = bs["f"] * (cosine / jnp.maximum(bs["pdf"], 1e-20))[:, None]
-        alive = alive & bs["valid"]
-        beta = jnp.where(alive[:, None], beta * thr, beta)
-        prev_pdf = bs["pdf"]
-        prev_delta = bs["is_delta_sample"]
-        diffused = diffused | (alive & ~bs["is_delta_sample"])
-        ro = offset_ray_origin(p_s, face_forward(ns, wo_world))
-        rd = wo_world
-        tmin = jnp.zeros((n,), f32)
+        surf = surf & bs["valid"]
+        alive = surf | med_scatter
+        beta = jnp.where(surf[:, None], beta * thr, beta)
+        prev_pdf = jnp.where(med_scatter, med_pdf, bs["pdf"])
+        prev_delta = jnp.where(med_scatter, False, bs["is_delta_sample"])
+        diffused = diffused | (surf & ~bs["is_delta_sample"])
+        ro = jnp.where(
+            med_scatter[:, None], med_ro,
+            offset_ray_origin(p_s, face_forward(ns, wo_world)),
+        )
+        rd = jnp.where(med_scatter[:, None], med_rd, wo_world)
+        tmin = jnp.where(med_scatter, 1e-4, 0.0)
 
     return L, pfilm
 
@@ -222,14 +311,6 @@ def render_mlt(cscene, cam, W, H, avg_spp, max_depth, n_chains=4096, seed=0):
     from pine_tpu.core.capture import bind, collect_device_arrays
     from pine_tpu.core.samplers import BlueSampler
 
-    if getattr(cscene, "grid_media", None):
-        from pine_tpu.core.log import WARNING
-
-        WARNING(
-            "MltIntegrator renders grid (VDB) media with a single-scatter "
-            "approximation (multiple in-medium scattering truncated); "
-            "PathIntegrator traces them fully."
-        )
     cam_params = cam.params()
     # +24 primary-sample columns per depth for media segment
     # terms (mlt_radiance's mdim region); media-free scenes keep the old D

@@ -479,6 +479,10 @@ def test_guided_grid_media_single_scatter(grid_foggy):
 
 
 def test_cached_grid_media_single_scatter(grid_foggy):
+    """Grid media as first-class medium vertices in both cached phases
+    (learning sweep + cache-terminated render); medium vertices are not
+    binned into the surface cache.  Measured -0.021 at 64spp (was -0.2
+    with the one-bounce truncation)."""
     from pine_tpu.core.samplers import UniformSampler
     from pine_tpu.integrators.cachedpath import render_cached
 
@@ -488,10 +492,14 @@ def test_cached_grid_media_single_scatter(grid_foggy):
     ))
     assert np.isfinite(img).all()
     rel = (img.mean() - ref.mean()) / ref.mean()
-    assert -0.30 < rel < 0.10, rel
+    assert -0.12 < rel < 0.12, rel  # measured -0.021 at 64spp
 
 
 def test_mlt_grid_media_single_scatter(grid_foggy):
+    """Grid media as first-class medium vertices in primary-sample space:
+    the tracking chain rides frozen per-lane hash randomness, NEE/phase
+    draws ride X columns.  Measured -0.055 at avg 64spp (was -0.160 with
+    the one-bounce truncation)."""
     from pine_tpu.integrators.mlt import render_mlt
 
     scene, cscene, ref, res = grid_foggy
@@ -499,7 +507,8 @@ def test_mlt_grid_media_single_scatter(grid_foggy):
         cscene, scene.camera, res, res, 32, 4, n_chains=2048
     ))
     rel = (img.mean() - ref.mean()) / ref.mean()
-    assert -0.28 < rel < 0.05, rel  # measured -0.160
+    assert -0.16 < rel < 0.08, rel  # measured -0.055 at avg 64spp (MLT's
+    # bootstrap-scale noise dominates at the test's 32spp)
 
 
 def test_restir_grid_media_single_scatter(grid_foggy):
