@@ -264,6 +264,16 @@ def render_guided(cscene, cam, W, H, sampler, spp, max_depth,
     from pine_tpu.core.capture import bind, collect_device_arrays
 
     lo, hi = cscene.scene.get_aabb()
+    # medium vertices are guided too (guidedpath.cpp:136): the guide's
+    # spatial bounds must cover media volumes, which can extend past the
+    # geometry AABB (a floating cloud would otherwise clamp to boundary
+    # leaves)
+    for med in list(getattr(cscene, "grid_media", None) or []) + list(
+        cscene.media or []
+    ):
+        mlo, mhi = med.get_aabb()
+        lo = np.minimum(lo, np.asarray(mlo, np.float32))
+        hi = np.maximum(hi, np.asarray(mhi, np.float32))
     n = W * H
     struct = os.environ.get("PINE_GUIDE_STRUCT", "tree")
     if struct == "tree":

@@ -18,7 +18,7 @@ SPP = 16
 DEPTH = 4
 
 
-def run(scene, cam, label, configs):
+def run(scene, cam, label, configs, w=W, h=H, spp=SPP, depth=DEPTH):
     import jax
     import numpy as np
 
@@ -26,7 +26,7 @@ def run(scene, cam, label, configs):
     from pine_tpu.integrators.path import render_wavefront
 
     cscene = scene.compile()
-    sampler = BlueSampler(SPP)
+    sampler = BlueSampler(spp)
     ref_img = None
 
     for cfg in configs:
@@ -34,7 +34,7 @@ def run(scene, cam, label, configs):
             os.environ[k] = v
         t0 = time.perf_counter()
         img, stats = render_wavefront(
-            cscene, cam, W, H, sampler, SPP, DEPTH, return_stats=True
+            cscene, cam, w, h, sampler, spp, depth, return_stats=True
         )
         jax.block_until_ready(img)
         compile_s = time.perf_counter() - t0
@@ -42,7 +42,7 @@ def run(scene, cam, label, configs):
         for _ in range(3):
             t0 = time.perf_counter()
             img, stats = render_wavefront(
-                cscene, cam, W, H, sampler, SPP, DEPTH, return_stats=True
+                cscene, cam, w, h, sampler, spp, depth, return_stats=True
             )
             jax.block_until_ready(img)
             walls.append(time.perf_counter() - t0)
@@ -88,6 +88,20 @@ def main():
             {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "mxup"},
         ]
         run(scene, scene.camera, "cbox", configs)
+    elif which == "instanced":
+        # two-level kernel: VPU leaf tests vs MXU matmul leaves, and the
+        # coherence sort's effect (instanced scenes default it ON via
+        # heavy_traversal) — bench_instanced's exact scene/config
+        from bench_instanced import DEPTH as IDEPTH, H as IH, SPP as ISPP, W as IW, build_scene
+
+        scene, _, _ = build_scene()
+        configs = [
+            {"PINE_SORT_RAYS": "1", "PINE_INST_KERNEL": "vpu"},
+            {"PINE_SORT_RAYS": "1", "PINE_INST_KERNEL": "mxu"},
+            {"PINE_SORT_RAYS": "0", "PINE_INST_KERNEL": "vpu"},
+        ]
+        run(scene, scene.camera, "instanced", configs,
+            w=IW, h=IH, spp=ISPP, depth=IDEPTH)
     elif which == "cbox-scd":
         # cell-culled dense sweep: culls only fire on spatially-compact ray
         # blocks, so it is measured with and without the coherence sort

@@ -527,3 +527,49 @@ def test_restir_grid_media_single_scatter(grid_foggy):
     ))
     rel = abs(img.mean() - ref2.mean()) / ref2.mean()
     assert rel < 0.08, rel
+
+
+def test_guided_medium_vertices_train_the_guide(monkeypatch):
+    """A scene with ONLY a light and a floating cloud: camera rays hit no
+    surface, so every training sample the guiding tree receives must come
+    from a MEDIUM vertex (guidedpath.cpp:148,161 record at mit->p).  Before
+    grid media became first-class vertices this count was zero by
+    construction."""
+    from pine_tpu.core.camera import ThinLenCamera
+    from pine_tpu.core.film import Film
+    from pine_tpu.core.samplers import UniformSampler
+    from pine_tpu.integrators import guidedpath as G
+    from pine_tpu.scene import materials as M, shapes as S
+    from pine_tpu.scene.media import GridMedium, HgPhaseFunction
+    from pine_tpu.scene.scene import Scene
+
+    monkeypatch.setenv("PINE_GUIDE_STRUCT", "tree")
+    res = 16
+    scene = Scene()
+    scene.add(
+        S.Rect([0, 2.4, 1.0], [0.6, 0, 0], [0, 0, 0.6]),
+        M.Emissive([60.0, 60.0, 60.0]),
+    )
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] *= 1.4
+    m[:3, 3] = [-0.7, 0.3, 0.4]
+    scene.add(GridMedium(
+        np.full((8, 8, 8), 1.5, np.float32), m, HgPhaseFunction(0.1),
+        [0.02, 0.02, 0.02], [1.2, 1.2, 1.2],
+    ))
+    scene.set(ThinLenCamera(
+        Film([res, res], "uncharted2"), [0, 1, -2.5], [0, 1, 1], 0.5
+    ))
+    cscene = scene.compile()
+    img = np.asarray(G.render_guided(
+        cscene, scene.camera, res, res, UniformSampler(16), 16, 4, 16
+    ))
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-4  # the cloud in-scatters the light
+    gt = G._LAST_TREE
+    assert gt is not None
+    # refine() zeroes per-iteration n_samples (spatial_tree.h parity), so
+    # the durable evidence of training is the collector flux the medium
+    # vertices deposited (no surface exists to deposit any)
+    total_flux = sum(q.flux for q in gt._qnodes)
+    assert total_flux > 0.0, "medium vertices deposited no training flux"
