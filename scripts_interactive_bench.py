@@ -45,7 +45,9 @@ def main():
     env.update(
         PINE_INTERACTIVE_KEYS="wwassdijklq",  # 10 camera moves, then quit
         PINE_TERM_PREVIEW="0",
-        PYTHONPATH=here,
+        # APPEND to PYTHONPATH: the container wires the TPU plugin through
+        # it (/root/.axon_site sitecustomize) — replacing it kills the backend
+        PYTHONPATH=here + os.pathsep + env.get("PYTHONPATH", ""),
     )
     argv = [sys.executable, "-m", "pine_tpu", scene_path, "--interactive"]
     if smoke:
