@@ -403,18 +403,21 @@ class CompiledScene:
             self.unified = build_packet_accel(
                 analytic_entities, self.meshes, instanced=inst_records
             )
-        # mesh-scale/instanced scenes benefit from dead-lane tmax masking in
-        # the wavefront (integrators/path.py); tiny dense scenes do not
+        # mesh-scale scenes benefit from the wavefront coherence sort +
+        # dead-lane tmax masking (integrators/path.py); tiny dense scenes do
+        # not, and neither do INSTANCED-only scenes — the r4 honest A/B
+        # (scripts_render_ab.py instanced) measured sort=1 at 10.2s vs
+        # sort=0 at 6.6s on the 1024-rock field: the two-level kernel's
+        # per-block top-level walk already culls by instance AABB, and the
+        # sort's octant grouping splits blocks that shared a compact set of
+        # instances.  PINE_SORT_RAYS=1 still forces it on.
         from pine_tpu.accel.pallas_traverse import GRID_MAX_PRIMS
 
-        self.heavy_traversal = bool(self.unified) and (
-            bool(self.unified.get("inst_groups"))
-            or any(
-                g.get("_prim_aabbs") is not None
-                and g["_prim_aabbs"].shape[0] > GRID_MAX_PRIMS
-                for g in self.unified["groups"]
-                if g["kind"] != "instanced"
-            )
+        self.heavy_traversal = bool(self.unified) and any(
+            g.get("_prim_aabbs") is not None
+            and g["_prim_aabbs"].shape[0] > GRID_MAX_PRIMS
+            for g in self.unified["groups"]
+            if g["kind"] != "instanced"
         )
         # world bounds for the wavefront coherence sort's origin morton key
         # (host-side floats: static at trace time)
