@@ -387,34 +387,54 @@ def _make_bvh_kernel(tid, width, any_hit):
 
 
 def _make_dense_kernel(tid, width, n_prims, any_hit):
-    """No-BVH variant: test every prim of a small group."""
+    """No-BVH variant: test every prim of a small group.
+
+    A group-AABB slab test gates the whole unrolled sweep per (8,128) ray
+    block: a block none of whose live lanes can reach the group's bounds
+    within (tmin, current-limit) skips all n_prims tests (e.g. cbox wall
+    blocks never touch the cone field on the floor; NEE blocks whose shadow
+    rays all start above it skip too).  Dead lanes skip for free: closest-hit
+    best_t starts at tmax (packet.py:853), so dead lanes carry limit<=tmin."""
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
     test = PRIM_TESTS[tid]
 
-    def kernel(rows, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+    def kernel(gbox, rows, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
                bt_out, be_out):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         tmin = tmn[:]
-        if any_hit:
-            occ = be_in[:]
-            limit = tmx[:]
-            for e in range(n_prims):
-                tt = test(lambda c: rows[e * width + c], o, d, tmin, limit)
-                occ = jnp.maximum(occ, (tt < BIG).astype(jnp.int32))
-            bt_out[:] = bt_in[:]
-            be_out[:] = occ
-        else:
-            best_t = bt_in[:]
-            best_e = be_in[:]
-            for e in range(n_prims):
-                tt = test(lambda c: rows[e * width + c], o, d, tmin, best_t)
-                better = tt < best_t
-                best_t = jnp.where(better, tt, best_t)
-                best_e = jnp.where(better, e, best_e)
-            bt_out[:] = best_t
-            be_out[:] = best_e
+        lim = tmx[:] if any_hit else bt_in[:]
+        near, far = tmin, lim
+        for a in range(3):
+            inv = _safe_inv(d[a])
+            t0 = (gbox[a] - o[a]) * inv
+            t1 = (gbox[3 + a] - o[a]) * inv
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        bt_out[:] = bt_in[:]
+        be_out[:] = be_in[:]
+
+        @pl.when(jnp.any(near <= far))
+        def _sweep():
+            if any_hit:
+                occ = be_in[:]
+                limit = tmx[:]
+                for e in range(n_prims):
+                    tt = test(lambda c: rows[e * width + c], o, d, tmin, limit)
+                    occ = jnp.maximum(occ, (tt < BIG).astype(jnp.int32))
+                be_out[:] = occ
+            else:
+                best_t = bt_in[:]
+                best_e = be_in[:]
+                for e in range(n_prims):
+                    tt = test(lambda c: rows[e * width + c], o, d, tmin, best_t)
+                    better = tt < best_t
+                    best_t = jnp.where(better, tt, best_t)
+                    best_e = jnp.where(better, e, best_e)
+                bt_out[:] = best_t
+                be_out[:] = best_e
 
     return kernel
 
@@ -1365,6 +1385,15 @@ def _group_smem_arrays(g):
     rows = np.asarray(g["rows_np"], np.float32)
     width = rows.shape[1]
     smem = dict(rows=jnp.asarray(rows.reshape(-1)), width=width)
+    # group bounds for the dense kernel's per-block cull; groups without
+    # recorded prim AABBs get an unbounded box (cull never fires)
+    pa = g.get("_prim_aabbs")
+    if pa is not None and len(pa):
+        pa = np.asarray(pa, np.float32)
+        gbox = np.concatenate([pa[:, 0:3].min(0), pa[:, 3:6].max(0)])
+    else:
+        gbox = np.array([-BIG] * 3 + [BIG] * 3, np.float32)
+    smem["gbox"] = jnp.asarray(gbox)
     if g["kind"] == "bvh":
         nn = g["nodes_np"]
         cl = np.asarray(nn["c_lower"], np.float32)  # (M,2,3)
@@ -1404,7 +1433,7 @@ def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
     else:
         kernel = _make_dense_kernel(tid, width, n_prims, any_hit)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,  # gbox, rows
             grid=grid,
             in_specs=[ray_spec] * n_ray_ops,
             out_specs=(ray_spec, ray_spec),
@@ -1600,5 +1629,5 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
             smem["rows"], *args,
         )
     else:
-        out_t, out_e = call(smem["rows"], *args)
+        out_t, out_e = call(smem["gbox"], smem["rows"], *args)
     return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
