@@ -142,6 +142,7 @@ _TOKEN_COUNTER = [0]
 # large films don't blow HBM/VMEM (the round-1 whole-film program faulted the
 # TPU worker at 640x640).  128*512 lanes keeps stacks ~16 MB.
 DEFAULT_CHUNK = 128 * 512
+LANE_BLOCK = 8 * 128  # (8,128) ray-packet granularity of the Pallas kernels
 TILE = 16  # pixel-tile edge for coherent lane ordering
 
 
@@ -211,6 +212,15 @@ def render_wavefront(
             # compiled program small (see spp_inner below) so no single
             # dispatch trips the TPU worker's execution watchdog
             chunk = min(chunk, DEFAULT_CHUNK // 4)
+        # balance (8,128) lane blocks across chunks instead of filling every
+        # chunk to the cap: 640^2 = 400 blocks as ceil-at-cap chunks is
+        # 7x64 with the last chunk 75% pad lanes (~11% of the whole render
+        # computed then discarded); 7x58 pads 1.5%.  One program shape either
+        # way — no extra compiles.
+        blocks_cap = max(1, chunk // LANE_BLOCK)
+        n_blocks = (n + LANE_BLOCK - 1) // LANE_BLOCK
+        n_ch = (n_blocks + blocks_cap - 1) // blocks_cap
+        chunk = ((n_blocks + n_ch - 1) // n_ch) * LANE_BLOCK
     cam_params = cam.params()
     # camera position/rotation/fov are DEVICE params that reach the program
     # as jit arguments (rebound per call below), so the compiled program is
