@@ -333,6 +333,7 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                     PT._sc_tree_layout(sub)
             else:
                 PT._group_smem_arrays(sub)
+                PT._smem_gbox(sub)
             from pine_tpu.accel import instanced_kernel as IK
 
             if IK.kernel_supports(g):
@@ -354,8 +355,10 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                     # SMEM layout too so the captured-array structure (and the
                     # no-captured-constants discipline) is knob-independent
                     PT._group_smem_arrays(g)
+                    PT._smem_gbox(g)
             else:
                 PT._group_smem_arrays(g)
+                PT._smem_gbox(g)
             from pine_tpu.accel import mxu_sweep
 
             if mxu_sweep.supports(g["tid"]):

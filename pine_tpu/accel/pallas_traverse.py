@@ -386,7 +386,7 @@ def _make_bvh_kernel(tid, width, any_hit):
     return kernel
 
 
-def _make_dense_kernel(tid, width, n_prims, any_hit):
+def _make_dense_kernel(tid, width, n_prims, any_hit, probe=False):
     """No-BVH variant: test every prim of a small group.
 
     A group-AABB slab test gates the whole unrolled sweep per (8,128) ray
@@ -394,7 +394,12 @@ def _make_dense_kernel(tid, width, n_prims, any_hit):
     within (tmin, current-limit) skips all n_prims tests (e.g. cbox wall
     blocks never touch the cone field on the floor; NEE blocks whose shadow
     rays all start above it skip too).  Dead lanes skip for free: closest-hit
-    best_t starts at tmax (packet.py:853), so dead lanes carry limit<=tmin."""
+    best_t starts at tmax (packet.py:853), so dead lanes carry limit<=tmin.
+
+    probe=True (PINE_DENSE_PROBE=sweepmark, WRONG RESULTS, tests only):
+    blocks whose sweep runs overwrite the outputs with a marker
+    (best_t=-123, occ=2) so a culled block (bitwise input passthrough) is
+    positively distinguishable from a sweep that ran and missed."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -405,7 +410,12 @@ def _make_dense_kernel(tid, width, n_prims, any_hit):
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         tmin = tmn[:]
-        lim = tmx[:] if any_hit else bt_in[:]
+        if any_hit:
+            # Already-occluded lanes contribute an empty (tmin-1) slab window
+            # so a block whose live lanes are all occluded culls whole.
+            lim = jnp.where(be_in[:] == 0, tmx[:], tmin - 1.0)
+        else:
+            lim = bt_in[:]
         near, far = tmin, lim
         for a in range(3):
             inv = _safe_inv(d[a])
@@ -418,6 +428,10 @@ def _make_dense_kernel(tid, width, n_prims, any_hit):
 
         @pl.when(jnp.any(near <= far))
         def _sweep():
+            if probe:
+                bt_out[:] = jnp.full_like(bt_in[:], -123.0)
+                be_out[:] = jnp.full_like(be_in[:], 2)
+                return
             if any_hit:
                 occ = be_in[:]
                 limit = tmx[:]
@@ -1385,15 +1399,6 @@ def _group_smem_arrays(g):
     rows = np.asarray(g["rows_np"], np.float32)
     width = rows.shape[1]
     smem = dict(rows=jnp.asarray(rows.reshape(-1)), width=width)
-    # group bounds for the dense kernel's per-block cull; groups without
-    # recorded prim AABBs get an unbounded box (cull never fires)
-    pa = g.get("_prim_aabbs")
-    if pa is not None and len(pa):
-        pa = np.asarray(pa, np.float32)
-        gbox = np.concatenate([pa[:, 0:3].min(0), pa[:, 3:6].max(0)])
-    else:
-        gbox = np.array([-BIG] * 3 + [BIG] * 3, np.float32)
-    smem["gbox"] = jnp.asarray(gbox)
     if g["kind"] == "bvh":
         nn = g["nodes_np"]
         cl = np.asarray(nn["c_lower"], np.float32)  # (M,2,3)
@@ -1406,8 +1411,29 @@ def _group_smem_arrays(g):
     return smem
 
 
+def _smem_gbox(g):
+    """Group bounds for the dense kernel's per-block cull, computed lazily
+    (only the dense call path reads it — bvh-kind groups skip it unless an
+    env override forces them onto the dense sweep).  MUST be called at
+    accel-build or first-query time outside a trace, same rule as
+    _group_smem_arrays.  Groups without recorded prim AABBs get an unbounded
+    box (cull never fires)."""
+    import jax.numpy as jnp
+
+    if "_smem_gbox" in g:
+        return g["_smem_gbox"]
+    pa = g.get("_prim_aabbs")
+    if pa is not None and len(pa):
+        pa = np.asarray(pa, np.float32)
+        gbox = np.concatenate([pa[:, 0:3].min(0), pa[:, 3:6].max(0)])
+    else:
+        gbox = np.array([-BIG] * 3 + [BIG] * 3, np.float32)
+    g["_smem_gbox"] = jnp.asarray(gbox)
+    return g["_smem_gbox"]
+
+
 @functools.lru_cache(maxsize=256)
-def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
+def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows, probe=False):
     """Build the pallas_call for a given group signature; n_rows = rays/128."""
     import jax
     from jax.experimental import pallas as pl
@@ -1431,7 +1457,7 @@ def _compiled_call(tid, width, kind, n_prims, any_hit, n_rows):
             scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         )
     else:
-        kernel = _make_dense_kernel(tid, width, n_prims, any_hit)
+        kernel = _make_dense_kernel(tid, width, n_prims, any_hit, probe=probe)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # gbox, rows
             grid=grid,
@@ -1617,11 +1643,17 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         )
         return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]
 
+    import os as _os
+
     smem = _group_smem_arrays(g)
     call = _compiled_call(
         g["tid"], smem["width"], variant,
         0 if variant == "bvh" else int(g["rows_np"].shape[0]),
         any_hit, R,
+        probe=(
+            variant != "bvh"
+            and _os.environ.get("PINE_DENSE_PROBE", "") == "sweepmark"
+        ),
     )
     if variant == "bvh":
         out_t, out_e = call(
@@ -1629,5 +1661,5 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
             smem["rows"], *args,
         )
     else:
-        out_t, out_e = call(smem["gbox"], smem["rows"], *args)
+        out_t, out_e = call(_smem_gbox(g), smem["rows"], *args)
     return out_t.reshape(-1)[:n], out_e.reshape(-1)[:n]

@@ -215,8 +215,13 @@ def render_wavefront(
         # balance (8,128) lane blocks across chunks instead of filling every
         # chunk to the cap: 640^2 = 400 blocks as ceil-at-cap chunks is
         # 7x64 with the last chunk 75% pad lanes (~11% of the whole render
-        # computed then discarded); 7x58 pads 1.5%.  One program shape either
-        # way — no extra compiles.
+        # computed then discarded); 7x58 pads 1.5%.  One program shape per
+        # film size — no extra compiles within a render.  Tradeoff: the chunk
+        # shape is resolution-dependent (640^2 -> 58 blocks, 800^2 -> 63), so
+        # films of different sizes no longer share one compiled program the
+        # way the fixed DEFAULT_CHUNK cap allowed; interactive re-renders hold
+        # the film size fixed, so the pad savings win.  Pass chunk= explicitly
+        # to pin a shape across resolutions.
         blocks_cap = max(1, chunk // LANE_BLOCK)
         n_blocks = (n + LANE_BLOCK - 1) // LANE_BLOCK
         n_ch = (n_blocks + blocks_cap - 1) // blocks_cap

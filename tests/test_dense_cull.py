@@ -69,6 +69,47 @@ def test_dense_cull_closest_matches_xla(sphere_accel, monkeypatch):
     assert (e_new[hit] == e_ref[hit]).all()
 
 
+def test_dense_cull_positively_fires(sphere_accel, monkeypatch):
+    """Distinguish the cull firing from the sweep running-and-missing:
+    PINE_DENSE_PROBE=sweepmark makes a swept block overwrite its outputs with
+    a marker (best_t=-123, occ=2), so a culled block is the one whose seeded
+    sentinel passes through bitwise."""
+    import jax.numpy as jnp
+    from pine_tpu.accel.pallas_traverse import pallas_group_query
+
+    (g,) = sphere_accel["groups"]
+    ro, rd, tmin, tmax = _mixed_rays()
+    n = ro.shape[0]
+    monkeypatch.setenv("PINE_DENSE_PROBE", "sweepmark")
+
+    # closest-hit: far block culls (sentinels pass through), near block sweeps
+    bt = jnp.full(n, 777.0, jnp.float32)
+    be = jnp.full(n, 55, jnp.int32)
+    out_t, out_e = pallas_group_query(
+        g, ro, rd, tmin, tmax, bt, be, any_hit=False, variant="dense"
+    )
+    out_t, out_e = np.asarray(out_t), np.asarray(out_e)
+    assert (out_t[:1024] == 777.0).all() and (out_e[:1024] == 55).all()
+    assert (out_t[1024:] == -123.0).all() and (out_e[1024:] == 2).all()
+
+    # any-hit: a block aimed AT the cluster but with every lane already
+    # occluded must cull too (per-lane empty slab window), while the same
+    # block unoccluded sweeps
+    ro2 = np.tile(np.array([[0.0, 0.0, -5.0]], np.float32), (2048, 1))
+    rd2 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (2048, 1))
+    occ_in = np.zeros(2048, np.int32)
+    occ_in[:1024] = 1  # first block fully occluded already
+    _, occ_out = pallas_group_query(
+        g, jnp.asarray(ro2), jnp.asarray(rd2),
+        jnp.zeros(2048, jnp.float32), jnp.full(2048, 1e30, jnp.float32),
+        jnp.full(2048, 1e30, jnp.float32), jnp.asarray(occ_in),
+        any_hit=True, variant="dense",
+    )
+    occ_out = np.asarray(occ_out)
+    assert (occ_out[:1024] == 1).all()  # culled: input passthrough, no marker
+    assert (occ_out[1024:] == 2).all()  # swept: marker
+
+
 def test_dense_cull_any_hit_matches_xla(sphere_accel, monkeypatch):
     from pine_tpu.accel import packet as PK
 
