@@ -36,6 +36,100 @@ DENSE_MAX = 16  # types with <= this many instances skip the BVH
 DEFAULT_K = 256  # rays per packet
 
 
+def _detect_lattice(params, lo, hi):
+    """Detect a regular 1-D/2-D lattice of identical-shape prims.
+
+    PRL scenes commonly instantiate shapes in nested `for` loops (the README
+    cbox's 21x20 cone floor, forests, instance fields).  On TPU a per-lane
+    table gather is impossible, but a lattice's prim parameters are AFFINE in
+    the lattice indices: rows[i*nj + j] = base + i*dU + j*dV.  A kernel can
+    therefore reconstruct the parameters of exactly the few cells a ray
+    passes near with two fmas per column — no memory fetch at all
+    (pallas_traverse._make_lattice_kernel).
+
+    Returns None, or a dict with the affine model, the dual spatial basis
+    for index selection, and conservative per-axis margins.  Caller must
+    SNAP the stored params to the model so every traversal path sees
+    identical geometry (float accumulation in script loops drifts ~1e-7 from
+    the affine model; unsnapped rows would break path-vs-path parity).
+    """
+    n = len(params)
+    if n < 4:
+        return None
+    P = np.asarray(params, np.float64)
+    C = np.asarray((lo + hi) * 0.5, np.float64)  # prim AABB centers
+    # tolerance relative to per-column spread (positions) with an absolute
+    # floor for constant columns (radii etc.)
+    ptp = P.max(0) - P.min(0)
+    atol = ptp * 1e-5 + 1e-6
+    dV = P[1] - P[0]
+    fit1 = np.abs(P - (P[0] + np.arange(n)[:, None] * dV))
+    bad = (fit1 > atol).any(1)
+    nj = int(np.argmax(bad)) if bad.any() else n
+    if nj < 2:
+        return None
+    if nj == n:
+        ni = 1
+        dU = np.zeros_like(dV)
+    else:
+        if n % nj:
+            return None
+        ni = n // nj
+        dU = P[nj] - P[0]
+        ii, jj = np.divmod(np.arange(n), nj)
+        fit2 = np.abs(P - (P[0] + ii[:, None] * dU + jj[:, None] * dV))
+        if (fit2 > atol).any():
+            return None
+    # spatial lattice vectors from AABB centers (the same (i, j) indexing)
+    ii, jj = np.divmod(np.arange(n), nj)
+    cV = C[1] - C[0]
+    cU = C[nj] - C[0] if ni > 1 else np.zeros(3)
+    cfit = np.abs(C - (C[0] + ii[:, None] * cU + jj[:, None] * cV))
+    ctol = (C.max(0) - C.min(0)) * 1e-5 + 1e-6
+    if (cfit > ctol).any():
+        return None
+    # dual basis: gu.cU = 1, gu.cV = 0 (and symmetrically), within span(cU,cV)
+    if ni > 1 and nj > 1:
+        G = np.array([[cU @ cU, cU @ cV], [cV @ cU, cV @ cV]])
+        if abs(np.linalg.det(G)) < 1e-12 * max(G[0, 0] * G[1, 1], 1e-30):
+            return None  # degenerate (collinear axes)
+        Ginv = np.linalg.inv(G)
+        gu = Ginv[0, 0] * cU + Ginv[0, 1] * cV
+        gv = Ginv[1, 0] * cU + Ginv[1, 1] * cV
+    elif nj > 1:  # 1-D lattice along V
+        if cV @ cV < 1e-20:
+            return None
+        gu = np.zeros(3)
+        gv = cV / (cV @ cV)
+    else:
+        return None
+    # margins: u-extent of a prim = support of its AABB half-extents along
+    # gu, in cell units (|gu.cU| == 1), plus slack for the snap residual
+    half = np.asarray(hi - lo, np.float64) * 0.5
+    r_u = float((half @ np.abs(gu)).max()) + 1e-4 if ni > 1 else 0.49
+    r_v = float((half @ np.abs(gv)).max()) + 1e-4
+    # the kernel's K x K candidate window must fit span/T + 2r + 1 entries:
+    # reject prims much fatter than their lattice cell (capacity <= 0)
+    K = 4
+    cap_u = K - 1 - 2 * r_u
+    cap_v = K - 1 - 2 * r_v
+    if cap_u < 0.45 or cap_v < 0.45:
+        return None
+    snapped = (
+        P[0] + ii[:, None] * dU + jj[:, None] * dV
+    ).astype(np.float32)
+    return dict(
+        ni=ni, nj=nj, K=K,
+        base=P[0].astype(np.float32), dU=dU.astype(np.float32),
+        dV=dV.astype(np.float32),
+        gu=gu.astype(np.float32), gv=gv.astype(np.float32),
+        u0=float(C[0] @ gu), v0=float(C[0] @ gv),
+        r_u=float(r_u), r_v=float(r_v),
+        cap_u=float(cap_u), cap_v=float(cap_v),
+        snapped=snapped,
+    )
+
+
 def _mesh_tri_tables(mesh):
     """Local-space per-triangle tables -> (rows(F,12), lo, hi, n_attr, t_attr,
     has_n, has_t)."""
@@ -157,6 +251,24 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
         lo = np.asarray(lo, np.float32)
         hi = np.asarray(hi, np.float32)
         n = len(params)
+        # regular-lattice prim fields (script loops) get an arithmetic-
+        # reconstruction kernel; params snap to the affine model so every
+        # traversal path sees identical geometry (drift is ~1e-7, far below
+        # any prim scale — _detect_lattice rejects anything larger)
+        lattice = None
+        from pine_tpu.accel.pallas_traverse import PRIM_TESTS as _PT_TESTS
+
+        import os
+
+        if (
+            n > DENSE_MAX
+            and tid in _PT_TESTS
+            and n_attr is None
+            and os.environ.get("PINE_LATTICE", "1") != "0"
+        ):
+            lattice = _detect_lattice(params, lo, hi)
+            if lattice is not None:
+                params = lattice.pop("snapped")
         if n <= DENSE_MAX:
             order = np.arange(n)
             gbase, rows = _append_entities(
@@ -180,10 +292,18 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
         rows_pad = np.concatenate(
             [rows, np.zeros((LEAF_MAX, rows.shape[1]), np.float32)]
         )
+        if lattice is not None:
+            # lattice index k -> SAH slot, applied as an XLA gather AFTER the
+            # kernel (pallas_group_query) — per-lane lookups stay impossible
+            # in-kernel, but the id translation is ordinary XLA
+            inv = np.empty(n, np.int32)
+            inv[order] = np.arange(n, dtype=np.int32)
+            lattice["slot_of_k"] = inv
         groups.append(
             dict(
                 tid=tid,
                 kind="bvh",
+                lattice=lattice,
                 base=gbase,
                 rows=jnp.asarray(rows_pad),
                 rows_np=rows_pad.copy(),
@@ -345,6 +465,11 @@ def build_packet_accel(analytic_prims, meshes, instanced=()):
                 mxu_sweep.build_mesh_tables(g["mesh"], lay["e_pad"], PT.SUPER)
             continue
         if g["tid"] in PT.PRIM_TESTS:
+            if g.get("lattice") is not None:
+                # lattice kernel scalars + k->slot table + group box, built
+                # outside the trace (capture discipline)
+                PT._lattice_smem(g)
+                PT._smem_gbox(g)
             if PT._grid_eligible(g):
                 PT._grid_layout(g)
                 if PT._grid_hbm(g):

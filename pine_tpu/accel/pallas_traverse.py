@@ -575,6 +575,209 @@ def _compiled_scdense_call(tid, width, n_prims, any_hit, n_rows):
 
 
 # --------------------------------------------------------------------------
+# lattice kernel: regular 1-D/2-D prim fields (script loops — the README
+# cbox's 21x20 cone floor, forests).  Prim params are AFFINE in the lattice
+# indices (packet._detect_lattice), so the kernel never fetches a prim: each
+# lane reconstructs the few candidate prims its ray passes near with two
+# fmas per component.  The ray's clipped [near, far] segment is marched in
+# windows short enough that a KxK integer window in the lattice's dual (u,v)
+# coordinates covers every reachable cell; most camera/NEE blocks need one
+# window of K*K tests instead of the dense kernel's full n_prims sweep
+# (420 for the cbox floor).  No reference analogue: the reference hands
+# fields like this to Embree's BVH (impl/accel/embree.cpp); on TPU the
+# arithmetic reconstruction replaces the per-lane gathers a tree walk would
+# need.
+# --------------------------------------------------------------------------
+
+def _make_lattice_kernel(tid, width, ni, nj, kwin, max_seg, any_hit):
+    """Kernel body for one lattice group.
+
+    Scalar-prefetch layout (latf, flat f32):
+      [0:w)      base params (lattice cell (0,0))
+      [w:2w)     dU  (param delta per +1 in i)
+      [2w:3w)    dV  (param delta per +1 in j)
+      [3w:3w+3)  gu  (dual spatial basis: x.gu - u0 == i at cell centers)
+      [3w+3:+3)  gv
+      [3w+6..]   u0, v0, r_u, r_v, cap_u, cap_v
+
+    Closest-hit best_e is the LATTICE index k = i*nj + j; the caller gathers
+    slot_of_k (ordinary XLA) to translate into the group's SAH row order.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    test = PRIM_TESTS[tid]
+    ki_n = min(kwin, ni)
+    kj_n = min(kwin, nj)
+
+    def kernel(gbox, latf, ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
+               bt_out, be_out, bt_s, be_s):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        tmin = tmn[:]
+        bt_s[:] = tmx[:] if any_hit else bt_in[:]
+        be_s[:] = be_in[:]
+        if any_hit:
+            lim = jnp.where(be_in[:] == 0, tmx[:], tmin - 1.0)
+        else:
+            lim = bt_in[:]
+        near, far = tmin, lim
+        for a in range(3):
+            inv = _safe_inv(d[a])
+            t0 = (gbox[a] - o[a]) * inv
+            t1 = (gbox[3 + a] - o[a]) * inv
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        live = near <= far
+
+        w = width
+        gu = (latf[3 * w], latf[3 * w + 1], latf[3 * w + 2])
+        gv = (latf[3 * w + 3], latf[3 * w + 4], latf[3 * w + 5])
+        u0, v0 = latf[3 * w + 6], latf[3 * w + 7]
+        r_u, r_v = latf[3 * w + 8], latf[3 * w + 9]
+        cap_u, cap_v = latf[3 * w + 10], latf[3 * w + 11]
+        du = d[0] * gu[0] + d[1] * gu[1] + d[2] * gu[2]
+        dv = d[0] * gv[0] + d[1] * gv[1] + d[2] * gv[2]
+        ou = o[0] * gu[0] + o[1] * gu[1] + o[2] * gu[2] - u0
+        ov = o[0] * gv[0] + o[1] * gv[1] + o[2] * gv[2] - v0
+        seg = jnp.maximum(far - near, 0.0)
+        n_seg = jnp.ceil(
+            jnp.maximum(
+                jnp.maximum(jnp.abs(du) * seg / cap_u,
+                            jnp.abs(dv) * seg / cap_v),
+                1.0,
+            )
+        )
+        n_seg = jnp.where(live, n_seg, 0.0)
+        dt = seg / jnp.maximum(n_seg, 1.0)
+
+        for s in range(max_seg):
+            if any_hit:
+                act = (float(s) < n_seg) & (be_s[:] == 0)
+            else:
+                act = float(s) < n_seg
+
+            @pl.when(jnp.any(act))
+            def _(s=s, act=act):
+                ta = near + float(s) * dt
+                tb = near + float(s + 1) * dt
+                ua, ub = ou + ta * du, ou + tb * du
+                va, vb = ov + ta * dv, ov + tb * dv
+                # candidate window: integer cells within r of the segment's
+                # (u,v) interval; clip before the int cast (dead lanes carry
+                # huge coordinates that would overflow int32)
+                i_lo = jnp.clip(
+                    jnp.floor(jnp.minimum(ua, ub) - r_u), -1e6, 1e6
+                ).astype(jnp.int32)
+                j_lo = jnp.clip(
+                    jnp.floor(jnp.minimum(va, vb) - r_v), -1e6, 1e6
+                ).astype(jnp.int32)
+                for ki in range(ki_n):
+                    ii = jnp.clip(i_lo + ki, 0, ni - 1)
+                    fi = ii.astype(jnp.float32)
+                    for kj in range(kj_n):
+                        jj = jnp.clip(j_lo + kj, 0, nj - 1)
+                        fj = jj.astype(jnp.float32)
+
+                        def fetch(c, fi=fi, fj=fj):
+                            return (
+                                latf[c]
+                                + fi * latf[w + c]
+                                + fj * latf[2 * w + c]
+                            )
+
+                        limit = jnp.where(
+                            act, tmx[:] if any_hit else bt_s[:], tmin - 1.0
+                        )
+                        tt = test(fetch, o, d, tmin, limit)
+                        if any_hit:
+                            be_s[:] = jnp.maximum(
+                                be_s[:], (tt < BIG).astype(jnp.int32)
+                            )
+                        else:
+                            better = tt < bt_s[:]
+                            bt_s[:] = jnp.where(better, tt, bt_s[:])
+                            be_s[:] = jnp.where(
+                                better, ii * nj + jj, be_s[:]
+                            )
+
+        if any_hit:
+            bt_out[:] = bt_in[:]
+        else:
+            bt_out[:] = bt_s[:]
+        be_out[:] = be_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_lattice_call(tid, width, ni, nj, kwin, max_seg, any_hit,
+                           n_rows):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    grid = (n_rows // K_SUB,)
+    ray_spec = pl.BlockSpec(
+        (K_SUB, K_LANE), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = _make_lattice_kernel(tid, width, ni, nj, kwin, max_seg, any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[ray_spec] * 10,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[
+            pltpu.VMEM((K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((K_SUB, K_LANE), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, K_LANE), jnp.int32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def _lattice_smem(g):
+    """Flatten the lattice model into the kernel's scalar-prefetch array +
+    the k->slot translation table.  MUST run at accel-build time (outside
+    any trace) — same capture discipline as _group_smem_arrays."""
+    import jax.numpy as jnp
+
+    lat = g["lattice"]
+    if "_latf" in lat:
+        return lat
+    w = int(g["rows_np"].shape[1])
+    base = np.zeros(w, np.float32)
+    dU = np.zeros(w, np.float32)
+    dV = np.zeros(w, np.float32)
+    pw = lat["base"].shape[0]
+    base[:pw], dU[:pw], dV[:pw] = lat["base"], lat["dU"], lat["dV"]
+    tail = np.array(
+        [lat["u0"], lat["v0"], lat["r_u"], lat["r_v"],
+         lat["cap_u"], lat["cap_v"]],
+        np.float32,
+    )
+    latf = np.concatenate([base, dU, dV, lat["gu"], lat["gv"], tail])
+    lat["_latf"] = jnp.asarray(latf)
+    lat["_slot"] = jnp.asarray(lat["slot_of_k"])
+    # worst-case windows to cover any chord through the group box
+    span_u = (lat["ni"] - 1) + 2 * lat["r_u"]
+    span_v = (lat["nj"] - 1) + 2 * lat["r_v"]
+    lat["_max_seg"] = max(
+        1,
+        int(np.ceil(max(span_u / lat["cap_u"], span_v / lat["cap_v"]))),
+    )
+    return lat
+
+
+# --------------------------------------------------------------------------
 # transposed grid kernel: prims ride SUBLANES via an (E,128) component table
 # (vector loads, zero scalar broadcasts in the prim loop); rays ride LANES.
 # Two-level AABB cull over leaf-ordered cells (16 prims) and supercells (128)
@@ -1377,6 +1580,8 @@ def group_supports_pallas(g):
         return False  # two-level instancing runs the XLA packet walk
     if g["tid"] not in PRIM_TESTS:
         return False
+    if g.get("lattice") is not None:
+        return True  # params reconstructed arithmetically: no table budget
     if _grid_eligible(g):
         return True
     nbytes = g["rows"].size * 4
@@ -1489,9 +1694,31 @@ def _group_variant(g):
     dense 3.66s vs grid 4.89s vs mxu 4.81s vs mxup 9.83s render wall);
     mid-size groups keep the culled grid kernel; mesh-scale (HBM) groups run
     the grid kernel's per-taken-supercell MXU matmul mode when the prim type
-    has a coefficient table (terrain 12.0s vs 13.5s plain grid)."""
+    has a coefficient table (terrain 12.0s vs 13.5s plain grid).
+
+    Groups detected as regular lattices (packet._detect_lattice) default to
+    the arithmetic-reconstruction lattice kernel at any size; the usual
+    PINE_SMALL_KERNEL / PINE_MESH_KERNEL knobs still override for A/B, and
+    PINE_LATTICE=0 disables detection at build time."""
     import os
 
+    if g.get("lattice") is not None:
+        ov = os.environ.get(
+            "PINE_MESH_KERNEL"
+            if (_grid_eligible(g) and _grid_hbm(g))
+            else "PINE_SMALL_KERNEL"
+        )
+        if ov:
+            return ov
+        # honest cbox A/B (r5, scripts_render_ab.py cbox-lattice): at 420
+        # prims the group-AABB-culled dense sweep ties the lattice march
+        # (3.26s vs 3.34s render wall), so small fields keep dense; above
+        # the dense cutoff the lattice kernel replaces the grid kernel's
+        # table sweeps with ~K*K arithmetic tests per window regardless of
+        # field size
+        n = int(g["rows_np"].shape[0])
+        if n > DENSE_DEFAULT_MAX:
+            return "lattice"
     if _grid_eligible(g):
         if _grid_hbm(g):
             # r4 A/Bs (sorted terrain render wall): mxu-in-grid 12.0s vs
@@ -1546,6 +1773,10 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         else:
             n_rows = int(g["rows_np"].shape[0])
             variant = "dense" if n_rows <= DENSE_DEFAULT_MAX else "grid"
+    if variant == "lattice" and g.get("lattice") is None:
+        # forced via env on a non-lattice group: fall back to the size default
+        n_rows = int(g["rows_np"].shape[0])
+        variant = "dense" if n_rows <= DENSE_DEFAULT_MAX else "grid"
 
     n = ro.shape[0]
     n_pad = ((n + KP - 1) // KP) * KP
@@ -1564,6 +1795,24 @@ def pallas_group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False,
         prep(tmin, 0.0), prep(tmax, -1.0),
         prep(best_t, -1.0), prep(best_e, 0),
     )
+    if variant == "lattice":
+        lat = _lattice_smem(g)
+        call = _compiled_lattice_call(
+            g["tid"], int(g["rows_np"].shape[1]), lat["ni"], lat["nj"],
+            lat["K"], lat["_max_seg"], any_hit, R,
+        )
+        out_t, out_e = call(_smem_gbox(g), lat["_latf"], *args)
+        out_t = out_t.reshape(-1)[:n]
+        out_e = out_e.reshape(-1)[:n]
+        if not any_hit:
+            # kernel reports the LATTICE index k = i*nj + j; translate into
+            # this group's SAH row order (ordinary XLA gather).  Lanes the
+            # kernel did not improve hold a passthrough id and gather
+            # garbage — the caller masks on t_new < best_t (see
+            # packet_intersect), so only improved lanes' ids are consumed.
+            slot = lat["_slot"]
+            out_e = jnp.take(slot, jnp.clip(out_e, 0, slot.shape[0] - 1))
+        return out_t, out_e
     if variant == "sctree":
         tl = _sc_tree_layout(g)
         call = _compiled_sctree_call(

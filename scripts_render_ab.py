@@ -102,6 +102,21 @@ def main():
         ]
         run(scene, scene.camera, "instanced", configs,
             w=IW, h=IH, spp=ISPP, depth=IDEPTH)
+    elif which == "cbox-lattice":
+        # lattice arithmetic-reconstruction kernel vs the dense sweep on the
+        # 420-cone floor group (the main cbox cost center per the kernel lab)
+        from bench import CBOX_PRL
+        from pine_tpu.prl.interp import Interpreter
+
+        itp = Interpreter()
+        itp.run(CBOX_PRL, "<ab:cbox>")
+        scene = itp.get_var("scene")
+        configs = [
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "dense"},
+            {"PINE_SORT_RAYS": "0", "PINE_SMALL_KERNEL": "lattice"},
+            {"PINE_SORT_RAYS": "1", "PINE_SMALL_KERNEL": "lattice"},
+        ]
+        run(scene, scene.camera, "cbox", configs)
     elif which == "cbox-scd":
         # cell-culled dense sweep: culls only fire on spatially-compact ray
         # blocks, so it is measured with and without the coherence sort
