@@ -225,10 +225,12 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                 ))
                 def _(s=s):
                     Fs = f_buf[s * 8: (s + 1) * 8, :]  # (8, 128) local rays
+                    from pine_tpu.accel.mxu_sweep import mxu_precision
+
                     P = jax.lax.dot_general(
                         strip, Fs, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=mxu_precision(),
                     )
                     o = (lox[s:s + 1, :], loy[s:s + 1, :], loz[s:s + 1, :])
                     d = (ldx[s:s + 1, :], ldy[s:s + 1, :], ldz[s:s + 1, :])

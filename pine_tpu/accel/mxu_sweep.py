@@ -40,6 +40,27 @@ import numpy as np
 
 from pine_tpu.scene import shapes as S
 
+
+def mxu_precision():
+    """Matmul precision for the intersection coefficient contractions.
+
+    TPU matmuls round f32 inputs to bf16 by default — far outside the parity
+    tolerance for intersection t.  HIGHEST (6 bf16 passes) recovers full f32;
+    HIGH (3 passes) recovers ~f32 for well-conditioned 8-deep dots at up to
+    2x the MXU throughput.  Honest r5 terrain A/B: wall 11.86 s (high) vs
+    11.87 s (highest) with bit-identical images — the 8-deep contraction is
+    nowhere near the terrain bottleneck, so the default stays exact and the
+    knob exists for future matmul-bound scenes."""
+    import os
+
+    import jax
+
+    return (
+        jax.lax.Precision.HIGH
+        if os.environ.get("PINE_MXU_PRECISION", "highest") == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+
 BIG = 1e30
 RAY_FEATS = 8  # [dx,dy,dz, ox,oy,oz, 1, pad]
 
@@ -335,7 +356,7 @@ def _make_fused_kernel(tid, m, C, n_tiles, any_hit):
                 # parity tolerance)
                 P = jnp.dot(
                     F, strip, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=mxu_precision(),
                 )
                 t = _pair_t(
                     tid, P, m, C_TILE, odr, oor, ddr, tmin, limit
@@ -462,7 +483,7 @@ def group_query(g, ro, rd, tmin, tmax, best_t, best_e, any_hit=False):
     # (n, m*C); HIGHEST keeps f32 inputs exact on the MXU (default is bf16)
     P = jnp.dot(
         F, tab["W"], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mxu_precision(),
     )
 
     odr = jnp.sum(ro * rd, axis=1, keepdims=True)

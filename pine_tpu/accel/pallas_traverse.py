@@ -986,10 +986,12 @@ def _make_grid_kernel(tid, width, n_prims, any_hit, hbm=False, cells=False,
                         # (m*SUPER, 128) pair values; lhs contracts on its
                         # leading dim (native MXU weight-stationary form);
                         # HIGHEST: f32 inputs must not round to bf16
+                        from pine_tpu.accel.mxu_sweep import mxu_precision
+
                         P = jax.lax.dot_general(
                             strip, Fs, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=mxu_precision(),
                         )
                         o = (ox[s:s + 1, :], oy[s:s + 1, :], oz[s:s + 1, :])
                         d = (dx[s:s + 1, :], dy[s:s + 1, :], dz[s:s + 1, :])

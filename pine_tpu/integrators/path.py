@@ -175,10 +175,24 @@ def _sampler_key(sampler):
     return (type(sampler).__name__, getattr(sampler, "spp", 0), getattr(sampler, "seed", 0))
 
 
-def tile_order(W, H, tile=TILE):
+def tile_order(W, H, tile=None):
     """Pixel permutation: tile-major scan so a contiguous lane chunk covers a
     compact 2-D film region (coherent primary rays for packetized traversal).
-    Returns int32 perm with perm[k] = flat pixel index of lane k."""
+    Returns int32 perm with perm[k] = flat pixel index of lane k.
+
+    PINE_TILE overrides the tile edge (pure lane-order data — the compiled
+    program is unchanged; xs/ys/inv_perm are jit arguments).  At 16 a
+    (8,128)-lane block covers a 64x16-pixel strip of 4 tiles; at 32 one
+    block IS one square 32x32 tile, the tightest footprint a 1024-lane
+    block can have.  Honest r5 A/Bs measured the square footprint NEUTRAL
+    on both the instanced rock field (6.50 vs 6.57 s) and terrain (11.87 vs
+    11.87 s) — primary-block footprint is not what those walls are made of —
+    so the default stays 16; the knob remains for scene-specific A/Bs.
+    """
+    if tile is None:
+        import os
+
+        tile = int(os.environ.get("PINE_TILE", TILE))
     xs, ys = np.meshgrid(np.arange(W, dtype=np.int64), np.arange(H, dtype=np.int64))
     tx, ty = xs // tile, ys // tile
     key = (((ty * ((W + tile - 1) // tile)) + tx) << 16) | ((ys % tile) * tile + (xs % tile))
@@ -266,6 +280,12 @@ def render_wavefront(
         _os.environ.get("PINE_SORT_DIRBITS", "3"),
         _os.environ.get("PINE_INST_DENSE", ""),
         _os.environ.get("PINE_INST_PROBE", ""),
+        _os.environ.get("PINE_MXU_PRECISION", "highest"),
+        # read at trace time inside the grid kernel: a probe config must
+        # not silently reuse the full program (r5: terrain probe walls came
+        # back identical to full because this key was missing)
+        _os.environ.get("PINE_GRID_PROBE", ""),
+        _os.environ.get("PINE_DENSE_PROBE", ""),
     )
     from pine_tpu.core.capture import bind, collect_device_arrays
 
@@ -297,10 +317,24 @@ def render_wavefront(
                     )
                     return acc + L, nrays + r
 
-                total, nrays = jax.lax.fori_loop(
-                    0, spp_inner, body,
-                    (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
-                )
+                # samplers with a wavefront fast path (BlueSampler) hoist
+                # their per-(dim, sample) tables out of the spp loop here:
+                # dims the traced body never consumes are DCE'd by XLA, so
+                # the generous max_dim bound costs only what is read.
+                # end_wavefront in finally — stale tracers left on the
+                # sampler would poison the next capture walk.
+                begin = getattr(sampler, "begin_wavefront", None)
+                if begin is not None:
+                    begin(xs, ys, off, spp_inner,
+                          max_dim=min(256, 4 + 16 * (max_depth + 1)))
+                try:
+                    total, nrays = jax.lax.fori_loop(
+                        0, spp_inner, body,
+                        (jnp.zeros((xs.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
+                    )
+                finally:
+                    if begin is not None:
+                        sampler.end_wavefront()
                 return total / spp_inner, nrays
 
         _RENDER_CACHE[key] = (jax.jit(fn), arrays, setters)
