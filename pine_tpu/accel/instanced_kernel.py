@@ -87,6 +87,12 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                bt_out, be_out,
                bt_s, be_s, lox, loy, loz, ldx, ldy, ldz,
                livx, livy, livz, *extra):
+        if probe == "count":
+            # WRONG RESULTS: supercell-body / cell-sweep counters, written
+            # over be_out rows 0-1 of each block (scripts_inst_probe --count)
+            extra, cnt = extra[:-1], extra[-1]
+            cnt[0] = 0
+            cnt[1] = 0
         if mxu_m and hbm:
             row_buf, dma_sem, f_buf, stack, spq, cur = extra
         elif mxu_m:
@@ -148,6 +154,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                 _do_super_body(si, o3, iv3)
 
         def _do_super_body(si, o3, iv3):
+            if probe == "count":
+                cnt[0] = cnt[0] + 1
             if mxu_m:
                 _do_super_body_mxu(si)
                 return
@@ -167,6 +175,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
             for k in range(cells_per_super):
                 @pl.when(cell_hits[k])
                 def _(k=k):
+                    if probe == "count":
+                        cnt[1] = cnt[1] + 1
                     for s in range(K_SUB):
                         o = (lox[s:s + 1, :], loy[s:s + 1, :], loz[s:s + 1, :])
                         d = (ldx[s:s + 1, :], ldy[s:s + 1, :], ldz[s:s + 1, :])
@@ -442,6 +452,9 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
         else:
             bt_out[:] = bt_s[:]
         be_out[:] = be_s[:]
+        if probe == "count":
+            be_out[0:1, :] = jnp.full((1, K_LANE), cnt[0], jnp.int32)
+            be_out[1:2, :] = jnp.full((1, K_LANE), cnt[1], jnp.int32)
 
     return kernel
 
@@ -504,6 +517,8 @@ def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows,
         pltpu.SMEM((1,), jnp.int32),              # spq
         pltpu.SMEM((1,), jnp.int32),              # cur instance
     ]
+    if probe == "count":
+        scratch += [pltpu.SMEM((2,), jnp.int32)]  # body/cell counters
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=13,
         grid=grid,
