@@ -86,13 +86,16 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                ox, oy, oz, dx, dy, dz, tmn, tmx, bt_in, be_in,
                bt_out, be_out,
                bt_s, be_s, lox, loy, loz, ldx, ldy, ldz,
-               livx, livy, livz, *extra):
+               livx, livy, livz, imask, *extra):
         if probe == "count":
-            # WRONG RESULTS: supercell-body / cell-sweep counters, written
-            # over be_out rows 0-1 of each block (scripts_inst_probe --count)
+            # WRONG RESULTS: pop / instance-entry / supercell-body /
+            # cell-sweep counters, written over be_out rows 0-3 of each
+            # block (scripts_inst_count.py)
             extra, cnt = extra[:-1], extra[-1]
             cnt[0] = 0
             cnt[1] = 0
+            cnt[2] = 0
+            cnt[3] = 0
         if mxu_m and hbm:
             row_buf, dma_sem, f_buf, stack, spq, cur = extra
         elif mxu_m:
@@ -111,8 +114,9 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
         be_s[:] = be_in[:]
         stack[0] = 0  # top root: 0*4 + kind 0
 
-        def slab(bx, base, o3, iv3, near_out=False):
-            """Scalar SMEM box vs the whole (8,128) block."""
+        def slab_mask(bx, base, o3, iv3):
+            """Scalar SMEM box vs the whole (8,128) block: per-lane hit mask
+            (near <= far with far clipped to the running best_t)."""
             lx, ly, lz = bx[base], bx[base + 1], bx[base + 2]
             ux, uy, uz = bx[base + 3], bx[base + 4], bx[base + 5]
             t0x, t1x = (lx - o3[0]) * iv3[0], (ux - o3[0]) * iv3[0]
@@ -126,7 +130,10 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), bt_s[:]),
             )
-            hit = near <= far
+            return near <= far, near
+
+        def slab(bx, base, o3, iv3, near_out=False):
+            hit, near = slab_mask(bx, base, o3, iv3)
             if near_out:
                 return jnp.any(hit), jnp.min(jnp.where(hit, near, BIG))
             return jnp.any(hit)
@@ -155,7 +162,7 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
 
         def _do_super_body(si, o3, iv3):
             if probe == "count":
-                cnt[0] = cnt[0] + 1
+                cnt[2] = cnt[2] + 1
             if mxu_m:
                 _do_super_body_mxu(si)
                 return
@@ -164,53 +171,69 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                     rows.at[pl.ds(si * SUPER, SUPER), :], row_buf, dma_sem
                 )
                 cp.start()
-            cell_hits = [
-                slab(mcell_boxes, (si * cells_per_super + k) * 6, o3, iv3)
-                & (si * SUPER + k * CELL32 < n_prims)
-                for k in range(cells_per_super)
-            ]
+            # per-lane cell masks, restricted to lanes that cut the CURRENT
+            # instance's world AABB (imask, set at the kind-1 entry).  The
+            # tightened BLOCK-level gate is the only use: per-row pl.when
+            # gating was measured 4.4x SLOWER (d1 57->252 ms/call) — scalar
+            # branches around (1,128) row ops swamp the saved sweeps.
+            live0 = imask[:] > 0.0
+            if any_hit:
+                live0 = live0 & (be_s[:] == 0)
+            cell_hits = []
+            for k in range(cells_per_super):
+                cm, _ = slab_mask(
+                    mcell_boxes, (si * cells_per_super + k) * 6, o3, iv3
+                )
+                cell_hits.append(
+                    jnp.any(cm & live0)
+                    & (si * SUPER + k * CELL32 < n_prims)
+                )
             if hbm:
                 cp.wait()
             ent_base = vbase + cur[0] * stride
+
+            def row_sweep(k, s):
+                o = (lox[s:s + 1, :], loy[s:s + 1, :], loz[s:s + 1, :])
+                d = (ldx[s:s + 1, :], ldy[s:s + 1, :], ldz[s:s + 1, :])
+                tmin = tmn[s:s + 1, :]
+                for tile in range(tiles_per_cell):
+                    p0 = si * SUPER + k * CELL32 + tile * 8
+                    buf_p0 = (k * CELL32 + tile * 8) if hbm else p0
+
+                    def fetch(c, buf_p0=buf_p0):
+                        return row_buf[pl.ds(buf_p0, 8), c:c + 1]
+
+                    row_bt = bt_s[s:s + 1, :]
+                    limit = tmx[s:s + 1, :] if any_hit else row_bt
+                    tt = _test_triangle(fetch, o, d, tmin, limit)
+                    pid = p0 + sub_iota
+                    tt = jnp.where(pid < n_prims, tt, BIG)
+                    if any_hit:
+                        be_s[s:s + 1, :] = jnp.maximum(
+                            be_s[s:s + 1, :],
+                            jnp.max((tt < BIG).astype(jnp.int32),
+                                    axis=0, keepdims=True),
+                        )
+                    else:
+                        tb = jnp.min(tt, axis=0, keepdims=True)
+                        eb = jnp.min(
+                            jnp.where(tt == tb, ent_base + pid,
+                                      jnp.int32(2 ** 30)),
+                            axis=0, keepdims=True,
+                        )
+                        better = tb < row_bt
+                        bt_s[s:s + 1, :] = jnp.where(better, tb, row_bt)
+                        be_s[s:s + 1, :] = jnp.where(
+                            better, eb, be_s[s:s + 1, :]
+                        )
+
             for k in range(cells_per_super):
                 @pl.when(cell_hits[k])
                 def _(k=k):
                     if probe == "count":
-                        cnt[1] = cnt[1] + 1
+                        cnt[3] = cnt[3] + 1
                     for s in range(K_SUB):
-                        o = (lox[s:s + 1, :], loy[s:s + 1, :], loz[s:s + 1, :])
-                        d = (ldx[s:s + 1, :], ldy[s:s + 1, :], ldz[s:s + 1, :])
-                        tmin = tmn[s:s + 1, :]
-                        for tile in range(tiles_per_cell):
-                            p0 = si * SUPER + k * CELL32 + tile * 8
-                            buf_p0 = (k * CELL32 + tile * 8) if hbm else p0
-
-                            def fetch(c, buf_p0=buf_p0):
-                                return row_buf[pl.ds(buf_p0, 8), c:c + 1]
-
-                            row_bt = bt_s[s:s + 1, :]
-                            limit = tmx[s:s + 1, :] if any_hit else row_bt
-                            tt = _test_triangle(fetch, o, d, tmin, limit)
-                            pid = p0 + sub_iota
-                            tt = jnp.where(pid < n_prims, tt, BIG)
-                            if any_hit:
-                                be_s[s:s + 1, :] = jnp.maximum(
-                                    be_s[s:s + 1, :],
-                                    jnp.max((tt < BIG).astype(jnp.int32),
-                                            axis=0, keepdims=True),
-                                )
-                            else:
-                                tb = jnp.min(tt, axis=0, keepdims=True)
-                                eb = jnp.min(
-                                    jnp.where(tt == tb, ent_base + pid,
-                                              jnp.int32(2 ** 30)),
-                                    axis=0, keepdims=True,
-                                )
-                                better = tb < row_bt
-                                bt_s[s:s + 1, :] = jnp.where(better, tb, row_bt)
-                                be_s[s:s + 1, :] = jnp.where(
-                                    better, eb, be_s[s:s + 1, :]
-                                )
+                        row_sweep(k, s)
 
         def _do_super_body_mxu(si):
             """Matmul leaf tests over the instance's local rays (f_buf)."""
@@ -230,8 +253,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
             ent_base = vbase + cur[0] * stride
             for s in range(K_SUB):
                 @pl.when(jnp.any(
-                    (tmx[s:s + 1, :] if any_hit else bt_s[s:s + 1, :])
-                    > tmn[s:s + 1, :]
+                    ((tmx[s:s + 1, :] if any_hit else bt_s[s:s + 1, :])
+                     > tmn[s:s + 1, :]) & (imask[s:s + 1, :] > 0.0)
                 ))
                 def _(s=s):
                     Fs = f_buf[s * 8: (s + 1) * 8, :]  # (8, 128) local rays
@@ -291,6 +314,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
             kind = ent & 3
             eid = ent >> 2
             spq[0] = sp1
+            if probe == "count":
+                cnt[0] = cnt[0] + 1
 
             @pl.when(kind == 0)
             def _():
@@ -366,38 +391,57 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
                         livz[:] = _safe_inv(ldz[:])
                     return
 
-                def mv(c):
-                    return minv[j * 12 + c]
+                # pop-time re-cull against the CURRENT best_t: instances were
+                # AABB-culled at push time, but near-first LIFO means best_t
+                # has tightened since — a stale instance dies here for one
+                # slab instead of a transform + mesh-subtree descent.  The
+                # surviving per-lane mask persists in imask: downstream cell
+                # sweeps skip sublane rows none of whose lanes can reach this
+                # instance (the dominant d1 cost — measured).
+                o3w, iv3w = world_rays()
+                im, _ = slab_mask(iboxes, j * 6, o3w, iv3w)
+                if any_hit:
+                    im = im & (be_s[:] == 0)
 
-                lox[:] = mv(0) * ox[:] + mv(1) * oy[:] + mv(2) * oz[:] + mv(3)
-                loy[:] = mv(4) * ox[:] + mv(5) * oy[:] + mv(6) * oz[:] + mv(7)
-                loz[:] = mv(8) * ox[:] + mv(9) * oy[:] + mv(10) * oz[:] + mv(11)
-                ldx[:] = mv(0) * dx[:] + mv(1) * dy[:] + mv(2) * dz[:]
-                ldy[:] = mv(4) * dx[:] + mv(5) * dy[:] + mv(6) * dz[:]
-                ldz[:] = mv(8) * dx[:] + mv(9) * dy[:] + mv(10) * dz[:]
-                livx[:] = _safe_inv(ldx[:])
-                livy[:] = _safe_inv(ldy[:])
-                livz[:] = _safe_inv(ldz[:])
-                if mxu_m:
-                    # per-row matmul feature matrices from the LOCAL rays;
-                    # rebuilt on every instance entry (the mesh subtree pops
-                    # before the next instance, so f_buf stays consistent)
-                    for s in range(K_SUB):
-                        for fi, ref in enumerate(
-                            (ldx, ldy, ldz, lox, loy, loz)
-                        ):
-                            f_buf[s * 8 + fi: s * 8 + fi + 1, :] = (
-                                ref[s: s + 1, :]
+                @pl.when(jnp.any(im))
+                def _():
+                    if probe == "count":
+                        cnt[1] = cnt[1] + 1
+                    imask[:] = im.astype(jnp.float32)
+
+                    def mv(c):
+                        return minv[j * 12 + c]
+
+                    lox[:] = mv(0) * ox[:] + mv(1) * oy[:] + mv(2) * oz[:] + mv(3)
+                    loy[:] = mv(4) * ox[:] + mv(5) * oy[:] + mv(6) * oz[:] + mv(7)
+                    loz[:] = mv(8) * ox[:] + mv(9) * oy[:] + mv(10) * oz[:] + mv(11)
+                    ldx[:] = mv(0) * dx[:] + mv(1) * dy[:] + mv(2) * dz[:]
+                    ldy[:] = mv(4) * dx[:] + mv(5) * dy[:] + mv(6) * dz[:]
+                    ldz[:] = mv(8) * dx[:] + mv(9) * dy[:] + mv(10) * dz[:]
+                    livx[:] = _safe_inv(ldx[:])
+                    livy[:] = _safe_inv(ldy[:])
+                    livz[:] = _safe_inv(ldz[:])
+                    if mxu_m:
+                        # per-row matmul feature matrices from the LOCAL rays;
+                        # rebuilt on every instance entry (the mesh subtree
+                        # pops before the next instance, so f_buf stays
+                        # consistent)
+                        for s in range(K_SUB):
+                            for fi, ref in enumerate(
+                                (ldx, ldy, ldz, lox, loy, loz)
+                            ):
+                                f_buf[s * 8 + fi: s * 8 + fi + 1, :] = (
+                                    ref[s: s + 1, :]
+                                )
+                            f_buf[s * 8 + 6: s * 8 + 7, :] = jnp.ones(
+                                (1, K_LANE), jnp.float32
                             )
-                        f_buf[s * 8 + 6: s * 8 + 7, :] = jnp.ones(
-                            (1, K_LANE), jnp.float32
-                        )
-                        f_buf[s * 8 + 7: s * 8 + 8, :] = jnp.zeros(
-                            (1, K_LANE), jnp.float32
-                        )
-                cur[0] = j
-                stack[sp1] = 2  # mesh root: node 0, kind 2
-                spq[0] = sp1 + 1
+                            f_buf[s * 8 + 7: s * 8 + 8, :] = jnp.zeros(
+                                (1, K_LANE), jnp.float32
+                            )
+                    cur[0] = j
+                    stack[sp1] = 2  # mesh root: node 0, kind 2
+                    spq[0] = sp1 + 1
 
             @pl.when(kind == 2)
             def _():
@@ -453,8 +497,8 @@ def _make_inst_kernel(n_prims, stride, vbase, any_hit, hbm, mxu_m=0):
             bt_out[:] = bt_s[:]
         be_out[:] = be_s[:]
         if probe == "count":
-            be_out[0:1, :] = jnp.full((1, K_LANE), cnt[0], jnp.int32)
-            be_out[1:2, :] = jnp.full((1, K_LANE), cnt[1], jnp.int32)
+            for ci in range(4):
+                be_out[ci:ci + 1, :] = jnp.full((1, K_LANE), cnt[ci], jnp.int32)
 
     return kernel
 
@@ -497,6 +541,7 @@ def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows,
         vec32, vec32, vec32,                      # lox loy loz
         vec32, vec32, vec32,                      # ldx ldy ldz
         vec32, vec32, vec32,                      # livx livy livz
+        vec32,                                    # imask (per-lane instance cut)
     ]
     if hbm:
         scratch += (
@@ -518,7 +563,7 @@ def _compiled_inst_call(n_prims, e_pad, stride, vbase, any_hit, n_rows,
         pltpu.SMEM((1,), jnp.int32),              # cur instance
     ]
     if probe == "count":
-        scratch += [pltpu.SMEM((2,), jnp.int32)]  # body/cell counters
+        scratch += [pltpu.SMEM((4,), jnp.int32)]  # pop/entry/body/cell counters
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=13,
         grid=grid,

@@ -222,10 +222,20 @@ def render_wavefront(
             # lane; 64k-lane chunks fault the TPU worker on grid-media scenes
             chunk = min(n, DEFAULT_CHUNK // 2)
         if getattr(cscene, "unified", None) and cscene.unified.get("inst_groups"):
-            # the two-level instanced walk runs long per lane; keep each
-            # compiled program small (see spp_inner below) so no single
-            # dispatch trips the TPU worker's execution watchdog
-            chunk = min(chunk, DEFAULT_CHUNK // 4)
+            # Instanced scenes on the SLOW XLA two-level walk run long per
+            # lane: keep each compiled program small (see spp_inner below) so
+            # no single dispatch trips the TPU worker's execution watchdog.
+            # Fast-kernel scenes keep full chunks — a 65k-lane 4spp program
+            # is ~0.6 s, and quartering it was measured to cost ~25% of the
+            # instanced render in dispatch overhead + unamortized kernel
+            # fixed costs (decomp r5: depth-1 pass 62 ms/spp vs ~4 ms kernel).
+            from pine_tpu.accel.instanced_pallas import supports as _ips
+            from pine_tpu.accel.packet import _use_pallas as _up
+
+            if not _up() or any(
+                not _ips(g) for g in cscene.unified["inst_groups"]
+            ):
+                chunk = min(chunk, DEFAULT_CHUNK // 4)
         # balance (8,128) lane blocks across chunks instead of filling every
         # chunk to the cap: 640^2 = 400 blocks as ceil-at-cap chunks is
         # 7x64 with the last chunk 75% pad lanes (~11% of the whole render

@@ -26,9 +26,10 @@ import numpy as np
 
 
 def _counts_from_be(be, n_rows):
-    """Harvest per-block counters written over be rows 0-1 by the probe."""
+    """Harvest per-block counters written over be rows 0-3 by the probe:
+    (pops, instance entries, supercell bodies, cell sweeps)."""
     be = np.asarray(be[: n_rows * 128]).reshape(n_rows, 128)
-    return int(be[0::8, 0].sum()), int(be[1::8, 0].sum())
+    return tuple(int(be[ci::8, 0].sum()) for ci in range(4))
 
 
 def main():
@@ -173,17 +174,20 @@ def main():
                 g, ro_, rd_, tmn_, jnp.asarray(tmx_), jnp.full(n, -1, jnp.int32)
             )
         jax.block_until_ready(be)
-        bodies, cells = _counts_from_be(np.asarray(be), n_rows)
+        pops, entries, bodies, cells = _counts_from_be(np.asarray(be), n_rows)
         os.environ.pop("PINE_INST_PROBE", None)
         live_blocks = int(
             (np.asarray(tmx_) > np.asarray(tmn_)).reshape(-1, 1024).any(1).sum()
         )
         print(json.dumps({
             "set": label, "wall_ms": round(wall_ms, 1),
+            "pops": pops, "entries": entries,
             "bodies": bodies, "cells": cells,
             "blocks_live": live_blocks * (n // 65536 or 1),
+            "pops_per_block": round(pops / max(1, n // 1024), 1),
+            "entries_per_block": round(entries / max(1, n // 1024), 1),
             "bodies_per_block": round(bodies / max(1, n // 1024), 1),
-            "us_per_body": round(wall_ms * 1e3 / max(1, bodies), 2),
+            "us_per_pop": round(wall_ms * 1e3 / max(1, pops), 2),
         }), flush=True)
 
     # world bounds for the sorts

@@ -5,6 +5,7 @@ to the pieces the config removes (NEE anyhit rounds, deeper bounces).
 
   python scripts_render_decomp.py            # cbox
   python scripts_render_decomp.py terrain    # terrain mesh scene
+  python scripts_render_decomp.py instanced  # 1024-rock instanced scene
 """
 from __future__ import annotations
 
@@ -29,6 +30,13 @@ def main():
 
         scene = build_scene()
         label = "terrain"
+    elif "instanced" in sys.argv[1:]:
+        import bench_instanced as BI
+
+        scene, _, _ = BI.build_scene()
+        label = "instanced"
+        global W, H, SPP
+        W, H, SPP = BI.W, BI.H, BI.SPP
     else:
         from bench import CBOX_PRL
         from pine_tpu.prl.interp import Interpreter
