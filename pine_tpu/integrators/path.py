@@ -286,6 +286,7 @@ def render_wavefront(
         _os.environ.get("PINE_MESH_KERNEL", "grid"),
         _os.environ.get("PINE_INST_KERNEL", "vpu"),
         _os.environ.get("PINE_SORT_RAYS", "auto"),
+        _os.environ.get("PINE_SORT_MODE", "origin"),
         _os.environ.get("PINE_OCTORDER", "1"),
         _os.environ.get("PINE_SORT_DIRBITS", "3"),
         _os.environ.get("PINE_INST_DENSE", ""),

@@ -38,7 +38,7 @@ def _spread10(x):
     return x
 
 
-def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
+def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span, mode="octant"):
     """Wavefront coherence sort: (dead, direction octant, origin morton).
 
     The Pallas traversal kernels cull at (8,128)-ray-block granularity; a
@@ -49,9 +49,38 @@ def _ray_sort_perm(ro, rd, tmin, tmax, world_lo, world_span):
     last turns them into all-dead blocks the kernels skip outright — block-
     level stream compaction without moving any per-lane payload twice.
 
+    mode="origin": origin-major key (dead, fine 128³ origin morton, octant).
+    Bounce rays originate ON an instance's surface, so a fine origin cell IS
+    an instance bin — blocks share a compact set of instance entries in the
+    two-level kernel's per-block top-level walk (the r5 count probe measured
+    15.6 instance entries × 9.2 supercell bodies per unsorted bounce block;
+    octant-major sorting recovers only ~18% because it splits lanes that
+    share a rock across direction bins).
+
     Pure permutation: per-lane results are bitwise identical, only kernel
     work changes.  Returns (perm, inv_perm)."""
     n = ro.shape[0]
+    if mode == "origin":
+        q = jnp.clip(
+            ((ro - world_lo) * (128.0 / world_span)).astype(jnp.int32), 0, 127
+        )
+        m = (
+            _spread10(q[:, 0])
+            | (_spread10(q[:, 1]) << 1)
+            | (_spread10(q[:, 2]) << 2)
+        )  # 21 bits
+        dbin = (
+            (rd[:, 0] < 0).astype(jnp.int32)
+            + 2 * (rd[:, 1] < 0).astype(jnp.int32)
+            + 4 * (rd[:, 2] < 0).astype(jnp.int32)
+        )
+        dead = (tmax <= tmin).astype(jnp.int32)
+        key = dbin | (m << 3) | (dead << 24)
+        perm = jnp.argsort(key)
+        inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        return perm, inv
     q = jnp.clip(
         ((ro - world_lo) * (32.0 / world_span)).astype(jnp.int32), 0, 31
     )
@@ -419,6 +448,12 @@ class CompiledScene:
             for g in self.unified["groups"]
             if g["kind"] != "instanced"
         )
+        # instanced-only scenes get the ORIGIN-major sort instead (see
+        # _ray_sort_perm mode="origin"): bounce rays bin by originating
+        # instance, which the octant-major key destroys
+        self.inst_traversal = bool(self.unified) and any(
+            g["kind"] == "instanced" for g in self.unified["groups"]
+        )
         # world bounds for the wavefront coherence sort's origin morton key
         # (host-side floats: static at trace time)
         lo_w, up_w = scene.get_aabb()
@@ -432,15 +467,28 @@ class CompiledScene:
         """Coherence-sort permutation for a wavefront, honoring the auto
         gates; None when sorting is off.  The integrator shares one perm per
         bounce between the NEE any-hit and the next depth's intersect (an
-        argsort costs ~2ms at 64k lanes — see _sort_rays_enabled)."""
+        argsort costs ~2ms at 64k lanes — see _sort_rays_enabled).
+
+        Mode selection: heavy mesh scenes take the octant-major key (r4 A/B
+        winner); instanced-only scenes take the origin-major key
+        (PINE_SORT_MODE=origin|off, see _ray_sort_perm)."""
+        import os
+
         n = ro.shape[0]
+        smode = "octant"
         if not _sort_rays_enabled(n, self.heavy_traversal):
-            return None
+            if not (
+                getattr(self, "inst_traversal", False)
+                and os.environ.get("PINE_SORT_MODE", "origin") == "origin"
+                and _sort_rays_enabled(n, True)
+            ):
+                return None
+            smode = "origin"
         f32 = jnp.float32
         return _ray_sort_perm(
             ro, rd, jnp.zeros((n,), f32),
             jnp.where(dead, -1.0, 1.0).astype(f32),
-            self.world_lo, self.world_span,
+            self.world_lo, self.world_span, mode=smode,
         )
 
     def intersect(self, ro, rd, tmin, tmax, want_closest=True,

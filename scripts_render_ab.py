@@ -102,6 +102,23 @@ def main():
         ]
         run(scene, scene.camera, "instanced", configs,
             w=IW, h=IH, spp=ISPP, depth=IDEPTH)
+        return
+    elif which == "instanced-sort":
+        # r5: origin-major instance binning (scene._ray_sort_perm
+        # mode="origin") vs no sort — the octant-major key already measured
+        # a LOSS here (r4: 10.2s vs 6.6s); the count probe said bin by
+        # instance instead
+        from bench_instanced import DEPTH as IDEPTH, H as IH, SPP as ISPP, W as IW, build_scene
+
+        scene, _, _ = build_scene()
+        configs = [
+            {"PINE_SORT_RAYS": "auto", "PINE_SORT_MODE": "off",
+             "PINE_INST_KERNEL": "vpu"},
+            {"PINE_SORT_RAYS": "auto", "PINE_SORT_MODE": "origin",
+             "PINE_INST_KERNEL": "vpu"},
+        ]
+        run(scene, scene.camera, "instanced", configs,
+            w=IW, h=IH, spp=ISPP, depth=IDEPTH)
     elif which == "cbox-lattice":
         # lattice arithmetic-reconstruction kernel vs the dense sweep on the
         # 420-cone floor group (the main cbox cost center per the kernel lab)
